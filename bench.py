@@ -1,0 +1,156 @@
+"""Benchmark: embedding throughput of the flagship GINE encoder.
+
+Prints ONE JSON line:
+  {"metric": "embeddings_per_sec", "value": N, "unit": "emb/s",
+   "vs_baseline": R}
+
+Workload: sliding 120-nt windows over the reference example dataset's
+100 structures (~23k window graphs), embedded with the packaged
+reference checkpoint architecture through the bucketed inference engine
+on whatever accelerator JAX selects (the TPU under the driver).
+
+Baseline (the denominator of vs_baseline): the same model and the same
+windows run with a straightline PyTorch-CPU implementation of the
+reference's math, batched like the reference's GPU path (chunks of 32,
+generate_embeddings.py:151-162).  The reference publishes no benchmark
+numbers (BASELINE.md), so this measured CPU-torch equivalent is the
+reference point; it is measured once on a subset and cached in
+BENCH_BASELINE.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
+CKPT = "/root/reference/src/ginfinity/weights/gin_weights_regression_180925.pth"
+SAMPLE = "/root/reference/example_data/sample_dataset.csv"
+WINDOW = 120
+
+
+def build_corpus():
+    import pandas as pd
+
+    from ginfinity_tpu.pipelines.windows import structure_to_windows
+
+    df = pd.read_csv(SAMPLE)
+    graphs = []
+    for s in df["secondary_structure"].astype(str):
+        graphs.extend(g for _, g in structure_to_windows(s, WINDOW, keep_paired_neighbors=True))
+    return graphs
+
+
+def measure_tpu(graphs, feature_dim):
+    from ginfinity_tpu.pipelines.engine import InferenceEngine, adapt_feature_dim
+
+    engine = InferenceEngine.from_checkpoint(CKPT, max_nodes_per_batch=8192)
+    graphs = adapt_feature_dim(graphs, feature_dim)
+    # warm-up: compile all bucket variants
+    engine.embed_graphs(graphs)
+    t0 = time.perf_counter()
+    engine.embed_graphs(graphs)
+    dt = time.perf_counter() - t0
+    return len(graphs) / dt
+
+
+def measure_torch_cpu_baseline(graphs, feature_dim, max_graphs=2000):
+    """Reference-equivalent CPU path (torch, float32, batch 32)."""
+    import torch
+    import torch.nn.functional as F
+
+    graphs = graphs[:max_graphs]
+    ckpt = torch.load(CKPT, map_location="cpu", weights_only=False)
+    sd = {k: v.float() for k, v in ckpt["state_dict"].items()}
+    md = ckpt["metadata"]
+    n_layers = md["gin_layers"]
+    mlp1 = 3 if md["dropout"] > 0 else 2
+
+    def forward(batch_graphs_list):
+        xs, srcs, dsts, eas, gids = [], [], [], [], []
+        off = 0
+        for g, ga in enumerate(batch_graphs_list):
+            xs.append(torch.from_numpy(ga.node_feat[:, :feature_dim]))
+            srcs.append(torch.from_numpy(ga.edge_src.astype(np.int64)) + off)
+            dsts.append(torch.from_numpy(ga.edge_dst.astype(np.int64)) + off)
+            eas.append(torch.from_numpy(ga.edge_attr))
+            gids.append(torch.full((ga.n_nodes,), g, dtype=torch.int64))
+            off += ga.n_nodes
+        x = torch.cat(xs)
+        src, dst = torch.cat(srcs), torch.cat(dsts)
+        ea, batch = torch.cat(eas), torch.cat(gids)
+        G = len(batch_graphs_list)
+        x = x @ sd["node_encoder.weight"].T + sd["node_encoder.bias"]
+        for i in range(n_layers):
+            h_in = x
+            e = ea @ sd[f"convs.{i}.lin.weight"].T + sd[f"convs.{i}.lin.bias"]
+            msg = F.relu(x[src] + e)
+            agg = torch.zeros_like(x).index_add_(0, dst, msg)
+            h = (1 + sd[f"convs.{i}.eps"]) * x + agg
+            h = F.relu(h @ sd[f"convs.{i}.nn.0.weight"].T + sd[f"convs.{i}.nn.0.bias"])
+            h = F.relu(h @ sd[f"convs.{i}.nn.{mlp1}.weight"].T + sd[f"convs.{i}.nn.{mlp1}.bias"])
+            mean = torch.zeros(G, h.shape[1]).index_add_(0, batch, h)
+            cnt = torch.zeros(G, 1).index_add_(0, batch, torch.ones(len(batch), 1))
+            mean = mean / cnt
+            out = h - mean[batch] * sd[f"norms.{i}.mean_scale"]
+            var = torch.zeros(G, h.shape[1]).index_add_(0, batch, out * out) / cnt
+            h = sd[f"norms.{i}.weight"] * out / (var[batch] + 1e-5).sqrt() + sd[f"norms.{i}.bias"]
+            x = h + h_in
+        # zscore_l2 + mean pool + fc (packaged metadata)
+        x = (x - sd["node_mu"]) / (sd["node_sigma"] + 1e-6)
+        x = x / torch.linalg.norm(x, dim=1, keepdim=True).clamp(min=1e-6)
+        pooled = torch.zeros(G, x.shape[1]).index_add_(0, batch, x)
+        cnt = torch.zeros(G, 1).index_add_(0, batch, torch.ones(len(batch), 1))
+        pooled = pooled / cnt
+        return pooled @ sd["fc.weight"].T + sd["fc.bias"]
+
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        for s in range(0, len(graphs), 32):
+            forward(graphs[s : s + 32])
+        dt = time.perf_counter() - t0
+    return len(graphs) / dt
+
+
+def main():
+    import torch
+
+    corpus = build_corpus()
+    ckpt = torch.load(CKPT, map_location="cpu", weights_only=False)
+    feature_dim = ckpt["metadata"]["node_feature_dim"]
+    del ckpt
+
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            baseline = json.load(f)["embeddings_per_sec_cpu_torch"]
+    else:
+        baseline = measure_torch_cpu_baseline(corpus, feature_dim)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(
+                {
+                    "embeddings_per_sec_cpu_torch": baseline,
+                    "protocol": "straightline torch-CPU reference math, batch 32, "
+                    f"first 2000 of {len(corpus)} {WINDOW}-nt windows",
+                },
+                f,
+                indent=2,
+            )
+
+    tput = measure_tpu(corpus, feature_dim)
+    print(
+        json.dumps(
+            {
+                "metric": "embeddings_per_sec",
+                "value": round(tput, 2),
+                "unit": "emb/s",
+                "vs_baseline": round(tput / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -71,9 +71,18 @@ def batch_graphs(
     graphs: Sequence[GraphArrays],
     node_capacity: int | None = None,
     edge_capacity: int | None = None,
+    graph_capacity: int | None = None,
 ) -> GraphBatch:
-    """Pack graphs into one padded GraphBatch (host-side NumPy)."""
-    g = len(graphs)
+    """Pack graphs into one padded GraphBatch (host-side NumPy).
+
+    ``graph_capacity`` pads the *graph count* too, so batches with
+    different numbers of graphs reuse one compiled program (num_graphs is
+    a static shape under jit).  Rows >= len(graphs) of the pooled output
+    are padding and must be dropped by the caller.
+    """
+    g = graph_capacity or len(graphs)
+    if len(graphs) > g:
+        raise ValueError(f"{len(graphs)} graphs exceed graph_capacity {g}")
     total_nodes = sum(x.n_nodes for x in graphs)
     total_edges = sum(x.n_edges for x in graphs)
     n_cap = node_capacity or bucket_sizes(total_nodes, total_edges)[0]
@@ -95,7 +104,7 @@ def batch_graphs(
     edge_dst = np.zeros(e_cap, np.int32)
     edge_attr = np.zeros((e_cap, edim), np.float32)
     edge_mask = np.zeros(e_cap, np.float32)
-    n_nodes = np.zeros(g, np.int32)
+    n_nodes = np.zeros(g, np.int32)  # padded graph slots stay 0
 
     n_off = 0
     e_off = 0

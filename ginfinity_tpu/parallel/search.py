@@ -1,0 +1,191 @@
+"""Sharded exact top-k similarity search over a device mesh.
+
+The reference materializes every O(n^2) pair to TSV and never computes
+top-k (compute_distances.py, SURVEY.md §3.3).  This engine is the
+TPU-native replacement: the corpus embedding matrix lives sharded over
+the mesh's ``data`` axis (each chip holds n/D rows in HBM), query
+batches are replicated, and each search is
+
+    per-shard Gram tile on the MXU  ->  per-shard lax.top_k
+    ->  all_gather of k candidates over ICI  ->  final top_k merge,
+
+all inside one ``shard_map``-ed jitted program.  Exact (not ANN):
+recall@k vs brute force is 1.0 by construction; the bench harness
+measures it anyway as an end-to-end check.
+
+Metrics: 'sqeuclidean' (matches the reference's squared distances,
+compute_distances.py:63), 'cosine', 'dot'.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ginfinity_tpu.parallel.mesh import make_data_mesh
+
+_NEG = -3.0e38
+
+
+def _pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
+    r = (-x.shape[0]) % multiple
+    if r:
+        x = np.concatenate([x, np.zeros((r,) + x.shape[1:], x.dtype)])
+    return x
+
+
+class TopKSearcher:
+    """Exact top-k search with the corpus sharded across devices.
+
+    Parameters
+    ----------
+    corpus : [N, D] float32 embeddings.
+    metric : 'sqeuclidean' | 'cosine' | 'dot'.
+    mesh : optional Mesh; defaults to all local devices on a 'data' axis.
+    query_block : queries per compiled search call (padded).
+    """
+
+    def __init__(
+        self,
+        corpus: np.ndarray,
+        metric: str = "sqeuclidean",
+        mesh: Mesh | None = None,
+        query_block: int = 1024,
+    ):
+        if metric not in ("sqeuclidean", "cosine", "dot"):
+            raise ValueError(f"unknown metric {metric!r}")
+        self.metric = metric
+        self.mesh = mesh or make_data_mesh()
+        self.n = corpus.shape[0]
+        self.dim = corpus.shape[1]
+        self.query_block = query_block
+        n_dev = self.mesh.devices.size
+
+        corpus = np.asarray(corpus, np.float32)
+        if metric == "cosine":
+            corpus = corpus / np.maximum(
+                np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12
+            )
+        padded = _pad_rows(corpus, n_dev)
+        valid = np.zeros(padded.shape[0], np.float32)
+        valid[: self.n] = 1.0
+
+        sh = NamedSharding(self.mesh, P("data"))
+        self._corpus = jax.device_put(jnp.asarray(padded), sh)
+        self._valid = jax.device_put(jnp.asarray(valid), sh)
+        # Per-row squared norms (for sqeuclidean scores).
+        sq = np.sum(padded * padded, axis=1).astype(np.float32)
+        self._sqnorm = jax.device_put(jnp.asarray(sq), sh)
+        self._search_fns: dict[int, callable] = {}
+
+    # -- compiled search ----------------------------------------------------
+
+    def _build(self, k: int):
+        mesh = self.mesh
+        n_dev = mesh.devices.size
+        shard_rows = self._corpus.shape[0] // n_dev
+        metric = self.metric
+
+        def shard_search(corpus, valid, sqnorm, queries):
+            # corpus [rows_local, D], queries [Q, D] replicated
+            scores = jax.lax.dot_general(
+                queries,
+                corpus,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Q, rows_local]
+            if metric == "sqeuclidean":
+                # maximize 2 q.c - ||c||^2  ==  minimize ||q - c||^2
+                scores = 2.0 * scores - sqnorm[None, :]
+            scores = jnp.where(valid[None, :] > 0, scores, _NEG)
+            # a shard may hold fewer than k rows; the merge still sees
+            # n_dev * local_k >= k candidates
+            local_k = min(k, shard_rows)
+            v, i = jax.lax.top_k(scores, local_k)  # [Q, local_k] local
+            base = jax.lax.axis_index("data") * shard_rows
+            gids = i + base
+            # Gather the candidates from every shard over ICI.
+            vs = jax.lax.all_gather(v, "data")  # [n_dev, Q, local_k]
+            gs = jax.lax.all_gather(gids, "data")
+            vs = jnp.transpose(vs, (1, 0, 2)).reshape(v.shape[0], n_dev * local_k)
+            gs = jnp.transpose(gs, (1, 0, 2)).reshape(v.shape[0], n_dev * local_k)
+            fv, fi = jax.lax.top_k(vs, k)
+            fg = jnp.take_along_axis(gs, fi, axis=1)
+            return fv, fg
+
+        fn = jax.shard_map(
+            shard_search,
+            mesh=mesh,
+            in_specs=(P("data", None), P("data"), P("data"), P()),
+            out_specs=(P(), P()),
+            # every shard computes the identical final merge after the
+            # all_gather; replication can't be statically inferred
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Return (scores [Q, k], indices [Q, k]) of the top-k corpus rows
+        per query.  For 'sqeuclidean' the returned scores are the actual
+        squared distances (ascending)."""
+        k = min(k, self.n)
+        if k not in self._search_fns:
+            self._search_fns[k] = self._build(k)
+        fn = self._search_fns[k]
+
+        queries = np.asarray(queries, np.float32)
+        if self.metric == "cosine":
+            queries = queries / np.maximum(
+                np.linalg.norm(queries, axis=1, keepdims=True), 1e-12
+            )
+        q_sq = np.sum(queries * queries, axis=1)
+
+        nq = queries.shape[0]
+        out_v = np.empty((nq, k), np.float32)
+        out_i = np.empty((nq, k), np.int64)
+        block = self.query_block
+        for s in range(0, nq, block):
+            q = queries[s : s + block]
+            pad = block - q.shape[0]
+            if pad:
+                q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)])
+            v, g = fn(self._corpus, self._valid, self._sqnorm, jnp.asarray(q))
+            out_v[s : s + block] = np.asarray(v)[: block - pad]
+            out_i[s : s + block] = np.asarray(g)[: block - pad]
+
+        if self.metric == "sqeuclidean":
+            # score was 2 q.c - ||c||^2; distance = ||q||^2 - score
+            out_v = q_sq[:, None] - out_v
+        return out_v, out_i
+
+
+def brute_force_topk(
+    corpus: np.ndarray, queries: np.ndarray, k: int, metric: str = "sqeuclidean"
+) -> tuple[np.ndarray, np.ndarray]:
+    """NumPy reference for recall checks (small inputs only)."""
+    if metric == "cosine":
+        corpus = corpus / np.maximum(np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12)
+        queries = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    if metric == "sqeuclidean":
+        d = (
+            np.sum(queries**2, 1)[:, None]
+            - 2 * queries @ corpus.T
+            + np.sum(corpus**2, 1)[None, :]
+        )
+        idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(d, idx, axis=1), idx
+    s = queries @ corpus.T
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+def recall_at_k(found: np.ndarray, truth: np.ndarray) -> float:
+    """Fraction of true top-k ids recovered (order-insensitive)."""
+    hits = 0
+    for f, t in zip(found, truth):
+        hits += len(set(f.tolist()) & set(t.tolist()))
+    return hits / truth.size

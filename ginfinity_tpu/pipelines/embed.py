@@ -1,0 +1,198 @@
+"""``ginfinity-embed`` — graph embeddings from dot-bracket structures.
+
+Reference CLI parity: src/ginfinity/scripts/generate_embeddings.py.
+Same flags, same TSV output schema (``embedding_vector`` as comma-joined
+%.6f strings, id/window columns ordered first), same checkpoint-metadata
+defaulting of graph encoding and seq_weight; the compute path is the
+TPU-native bucketed engine instead of CPU worker pools.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+from ginfinity_tpu.pipelines.engine import InferenceEngine, preprocess_structures
+from ginfinity_tpu.utils.io import log_information, setup_and_read_input
+
+
+def format_embedding(vec: np.ndarray) -> str:
+    return ",".join(f"{x:.6f}" for x in np.asarray(vec).ravel())
+
+
+def generate_embeddings(
+    input_df: pd.DataFrame,
+    output_path: str,
+    model_path: str,
+    log_path: str | None,
+    structure_column: str,
+    id_column: str,
+    batch_nodes: int = 8192,
+    keep_cols: list | None = None,
+    quiet: bool = False,
+    graph_encoding_override: str | None = None,
+    seq_weight_override: float | None = None,
+    sequence_column: str = "sequence",
+):
+    final_keep = [id_column]
+    if "seq_len" in input_df.columns:
+        final_keep.append("seq_len")
+    if keep_cols:
+        final_keep.extend(keep_cols)
+
+    engine = InferenceEngine.from_checkpoint(model_path, max_nodes_per_batch=batch_nodes)
+    cfg = engine.config
+    graph_encoding = (graph_encoding_override or cfg.graph_encoding or "standard").lower()
+    if graph_encoding not in {"standard", "forgi"}:
+        raise ValueError(f"Unsupported graph encoding '{graph_encoding}'")
+    seq_weight = (
+        float(seq_weight_override) if seq_weight_override is not None else cfg.seq_weight
+    )
+    seq_weight = max(0.0, min(1.0, seq_weight))
+
+    structures = input_df[structure_column].tolist()
+    sequences = (
+        input_df[sequence_column].tolist() if sequence_column in input_df.columns else None
+    )
+    pre = preprocess_structures(
+        structures,
+        sequences,
+        graph_encoding=graph_encoding,
+        seq_weight=seq_weight,
+        feature_dim=cfg.node_feature_dim,
+    )
+    row_ids = input_df[id_column].tolist()
+    for pos, reason in pre.skipped:
+        log_information(log_path, {f"skipped_{reason}": f"ID {row_ids[pos]}"})
+
+    if not pre.graphs:
+        print("No valid structures to process.")
+        return
+
+    embeddings = engine.embed_graphs(pre.graphs)
+
+    rows = []
+    index_values = input_df.index.tolist()
+    for k, pos in enumerate(pre.kept_indices):
+        base = input_df.loc[index_values[pos]]
+        out = {c: base[c] for c in final_keep if c in base}
+        out["embedding_vector"] = format_embedding(embeddings[k])
+        rows.append(out)
+
+    out_df = pd.DataFrame(rows)
+    cols = [id_column]
+    for c in ("window_start", "window_end"):
+        if c in out_df.columns:
+            cols.append(c)
+    cols.append("embedding_vector")
+    others = [c for c in out_df.columns if c not in cols]
+    out_df = out_df[cols + sorted(others)]
+    out_df.to_csv(output_path, sep="\t", index=False, na_rep="NaN")
+    log_information(log_path, {"num_embeddings": len(out_df)}, "generate_embeddings")
+    if not quiet:
+        print(f"Embeddings saved to {output_path}")
+
+
+def _embed_precomputed(args):
+    """--graph-pt mode: embed precomputed window graphs
+    (our .npz format from ginfinity_tpu.pipelines.windows; the reference's
+    torch .pt format is also accepted when its unpickling deps exist)."""
+    from ginfinity_tpu.pipelines.engine import adapt_feature_dim
+    from ginfinity_tpu.pipelines.windows import load_windows_graphs
+
+    graph_map = load_windows_graphs(args.graph_pt)
+    meta_df = pd.read_csv(args.meta_tsv, sep="\t")
+    records = meta_df.to_dict(orient="records")
+    graphs = [graph_map[r["window_id"]] for r in records]
+
+    log_path = os.path.splitext(args.output)[0] + ".log"
+    open(log_path, "a").close()
+
+    engine = InferenceEngine.from_checkpoint(args.model_path, max_nodes_per_batch=args.batch_nodes)
+    graphs = adapt_feature_dim(graphs, engine.config.node_feature_dim)
+    embeddings = engine.embed_graphs(graphs)
+
+    rows = []
+    for md, vec in zip(records, embeddings):
+        row = dict(md)
+        row["embedding_vector"] = format_embedding(vec)
+        rows.append(row)
+    out_df = pd.DataFrame(rows)
+    cols = [c for c in ("window_id", args.id_column, "window_start", "window_end") if c in out_df.columns]
+    cols.append("embedding_vector")
+    others = [c for c in out_df.columns if c not in cols]
+    out_df = out_df[cols + others]
+    out_df.to_csv(args.output, sep="\t", index=False, na_rep="NaN")
+    log_information(log_path, {"num_embeddings": len(out_df)}, "generate_embeddings")
+    print(f"Embeddings saved to {args.output}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Generate embeddings from precomputed graphs or raw dot-bracket TSV (TPU-native)."
+    )
+    parser.add_argument("--input", help="Path to raw TSV/CSV with dot-bracket structures.")
+    parser.add_argument("--graph-pt", help="Path to windows_graphs.npz (or reference .pt)")
+    parser.add_argument("--meta-tsv", help="Path to windows_metadata.tsv")
+    parser.add_argument("--output", required=True, help="Output TSV for embeddings.")
+    parser.add_argument("--model-path", default=None,
+                        help="Path to a GIN checkpoint (.pth or native). Required (the reference's bundled default weights are not shipped here).")
+    parser.add_argument("--id-column", required=True)
+    parser.add_argument("--structure-column-name", default="secondary_structure")
+    parser.add_argument("--keep-cols", default=None)
+    parser.add_argument("--device", default=None,
+                        help="Ignored (JAX selects the accelerator); kept for reference CLI compatibility.")
+    parser.add_argument("--num-workers", type=int, default=4,
+                        help="Host preprocessing workers (reference CLI compatibility).")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="Reference CLI compatibility; superseded by --batch-nodes.")
+    parser.add_argument("--batch-nodes", type=int, default=8192,
+                        help="Max real nodes per device batch (bucketed padding).")
+    parser.add_argument("--graph-encoding", choices=["standard", "forgi"], default=None)
+    parser.add_argument("--seq-weight", type=float, default=None)
+    parser.add_argument("--quiet", action="store_true")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.model_path is None:
+        default_weights = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "weights", "default.gin.zip"
+        )
+        if not os.path.exists(default_weights):
+            sys.exit(
+                "ERROR: no --model-path given and no default weights found. "
+                "Pass --model-path (a reference .pth works directly)."
+            )
+        args.model_path = default_weights
+        if not args.quiet:
+            print(f"[generate_embeddings] Using built-in weights: {args.model_path}")
+
+    if args.graph_pt and args.meta_tsv:
+        _embed_precomputed(args)
+        return
+
+    df, log_path, propagate = setup_and_read_input(args, need_model=True)
+    generate_embeddings(
+        input_df=df,
+        output_path=args.output,
+        model_path=args.model_path,
+        log_path=log_path,
+        structure_column=args.structure_column_name,
+        id_column=args.id_column,
+        batch_nodes=args.batch_nodes,
+        keep_cols=propagate,
+        quiet=args.quiet,
+        graph_encoding_override=args.graph_encoding,
+        seq_weight_override=args.seq_weight,
+    )
+
+
+if __name__ == "__main__":
+    main()

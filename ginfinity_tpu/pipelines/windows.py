@@ -1,0 +1,257 @@
+"""``ginfinity-generate-windows`` — sliding-window subgraphs.
+
+Reference CLI parity: src/ginfinity/scripts/generate_windows.py, with the
+O(n*L) networkx subgraph loop replaced by index arithmetic on the pair
+table.  Semantics preserved exactly:
+
+- windows of length L at every start offset (generate_windows.py:32-53),
+- ``--keep-paired-neighbors`` pulls out-of-window pairing partners in as
+  isolated nodes whose backbone ('adjacent') edges are cut,
+- node features come from the *full* structure (loop metadata and paired
+  flags are computed before slicing, generate_windows.py:69),
+- low-complexity mask: fraction of '('+')' characters in the window's
+  substring below ``--mask-threshold`` -> skip (generate_windows.py:19-30),
+- the adjacent-base-pair quirk: a pair (i, i+1) is an 'adjacent' edge in
+  the reference graph (simple-graph overwrite), so such partners are NOT
+  pulled in and such edges are cut with the backbone.
+
+Storage: ``windows_graphs.npz`` (flat arrays per window id) +
+``windows_metadata.tsv`` — same metadata schema as the reference's
+``windows_graphs.pt``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pandas as pd
+
+from ginfinity_tpu.graphs.build import GraphArrays, standard_node_features
+from ginfinity_tpu.graphs.dotbracket import pair_table
+from ginfinity_tpu.utils.io import log_information, setup_and_read_input
+
+
+def window_starts_mask(structure: str, L: int, mask_threshold: float) -> np.ndarray:
+    """Vectorized low-complexity filter: keep[start] is True when the
+    window passes the paired-fraction threshold."""
+    n = len(structure)
+    n_windows = n - L + 1
+    if n_windows <= 0:
+        return np.zeros(0, dtype=bool)
+    if mask_threshold <= 0:
+        return np.ones(n_windows, dtype=bool)
+    codes = np.frombuffer(structure.encode("latin-1"), dtype=np.uint8)
+    paired = ((codes == ord("(")) | (codes == ord(")"))).astype(np.int32)
+    csum = np.concatenate(([0], np.cumsum(paired)))
+    counts = csum[L:] - csum[:-L]
+    return (counts / L) >= mask_threshold
+
+
+def slice_window(
+    pt: np.ndarray,
+    full_feat: np.ndarray,
+    start: int,
+    L: int,
+    keep_paired_neighbors: bool = True,
+) -> GraphArrays:
+    """Extract one window subgraph as flat arrays (all NumPy ops)."""
+    n = pt.shape[0]
+    idx = np.arange(n, dtype=np.int32)
+    in_win = np.zeros(n, dtype=bool)
+    in_win[start : start + L] = True
+    # Real base-pair edges exclude backbone-adjacent pairs (see module doc).
+    bp_real = (pt >= 0) & (np.abs(pt - idx) != 1)
+
+    if keep_paired_neighbors:
+        pulled = idx[in_win & bp_real & ~in_win[np.clip(pt, 0, n - 1)]]
+        outside = np.unique(pt[pulled])
+        nodes = np.sort(np.concatenate([idx[in_win], outside.astype(np.int32)]))
+    else:
+        nodes = idx[in_win]
+
+    keep_mask = np.zeros(n, dtype=bool)
+    keep_mask[nodes] = True
+    local = np.full(n, -1, dtype=np.int32)
+    local[nodes] = np.arange(nodes.shape[0], dtype=np.int32)
+
+    # Backbone edges: (i-1, i) with both endpoints inside the window
+    # (outside-pulled nodes lose their adjacent edges).
+    bb_i = idx[(idx >= start + 1) & (idx < start + L)]
+    bb_src, bb_dst = local[bb_i], local[bb_i - 1]
+    # Also adjacent edges that *represent* adjacent base pairs (i, i+1) are
+    # already covered by the backbone rule above.
+
+    # Base pairs with both endpoints kept.
+    bp_i = idx[bp_real & (idx < pt) & keep_mask & keep_mask[np.clip(pt, 0, n - 1)]]
+    bp_src, bp_dst = local[bp_i], local[pt[bp_i]]
+
+    src = np.concatenate([bb_src, bp_src])
+    dst = np.concatenate([bb_dst, bp_dst])
+    attr2 = np.zeros((src.shape[0], 2), np.float32)
+    attr2[: bb_src.shape[0], 0] = 1.0
+    attr2[bb_src.shape[0] :, 1] = 1.0
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    a = np.concatenate([attr2, attr2], axis=0)
+    fwd = (s < d).astype(np.float32)[:, None]
+    attr = np.concatenate([a, fwd, 1.0 - fwd], axis=1)
+
+    return GraphArrays(
+        node_feat=full_feat[nodes],
+        edge_src=s.astype(np.int32),
+        edge_dst=d.astype(np.int32),
+        edge_attr=attr,
+        n_nodes=int(nodes.shape[0]),
+        n_base_nodes=int(nodes.shape[0]),
+    )
+
+
+def structure_to_windows(
+    structure: str,
+    L: int,
+    keep_paired_neighbors: bool = True,
+    mask_threshold: float = 0.0,
+    seq_weight: float = 0.0,
+    sequence: str | None = None,
+) -> list[tuple[int, GraphArrays]]:
+    pt = pair_table(structure, strict=False)
+    if pt is None or pt.shape[0] < L:
+        return []
+    full_feat = standard_node_features(pt, sequence, seq_weight)
+    keep = window_starts_mask(structure, L, mask_threshold)
+    return [
+        (start, slice_window(pt, full_feat, start, L, keep_paired_neighbors))
+        for start in np.nonzero(keep)[0]
+    ]
+
+
+# --------------------------------------------------------------------------
+# Storage
+# --------------------------------------------------------------------------
+
+
+def save_windows_graphs(path: str, graph_map: dict[str, GraphArrays]):
+    """Window ids live in a manifest array; per-window arrays are keyed by
+    position (zipfile member names cannot carry arbitrary id strings)."""
+    arrays = {"manifest": np.array(list(graph_map.keys()))}
+    for k, g in enumerate(graph_map.values()):
+        arrays[f"g{k}_feat"] = g.node_feat
+        arrays[f"g{k}_src"] = g.edge_src
+        arrays[f"g{k}_dst"] = g.edge_dst
+        arrays[f"g{k}_attr"] = g.edge_attr
+        arrays[f"g{k}_nb"] = np.array([g.n_nodes, g.n_base_nodes], np.int32)
+    np.savez_compressed(path, **arrays)
+
+
+def load_windows_graphs(path: str) -> dict[str, GraphArrays]:
+    if path.endswith(".pt"):  # reference torch format
+        return _load_torch_windows(path)
+    out: dict[str, GraphArrays] = {}
+    with np.load(path) as z:
+        wids = [str(w) for w in z["manifest"]]
+        for k, wid in enumerate(wids):
+            nb = z[f"g{k}_nb"]
+            out[wid] = GraphArrays(
+                node_feat=z[f"g{k}_feat"],
+                edge_src=z[f"g{k}_src"],
+                edge_dst=z[f"g{k}_dst"],
+                edge_attr=z[f"g{k}_attr"],
+                n_nodes=int(nb[0]),
+                n_base_nodes=int(nb[1]),
+            )
+    return out
+
+
+def _load_torch_windows(path: str) -> dict[str, GraphArrays]:
+    """Read the reference's windows_graphs.pt (requires its unpickling
+    deps, i.e. torch_geometric, to be importable)."""
+    import torch
+
+    raw = torch.load(path, weights_only=False)
+    out = {}
+    for wid, data in raw.items():
+        x = data.x.numpy().astype(np.float32)
+        ei = data.edge_index.numpy().astype(np.int32)
+        ea = data.edge_attr.numpy().astype(np.float32)
+        nb = getattr(data, "num_base_nodes", x.shape[0])
+        out[wid] = GraphArrays(x, ei[0], ei[1], ea, x.shape[0], int(nb))
+    return out
+
+
+# --------------------------------------------------------------------------
+# CLI
+# --------------------------------------------------------------------------
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Generate windowed subgraphs from RNA structures (TPU-native)."
+    )
+    parser.add_argument("--input", type=str, required=True)
+    parser.add_argument("--output-dir", type=str, default="windows_output")
+    parser.add_argument("--id-column", type=str, required=True)
+    parser.add_argument("--structure-column-name", type=str, default="secondary_structure")
+    parser.add_argument("--L", type=int, required=True)
+    parser.add_argument("--keep-paired-neighbors", action="store_true")
+    parser.add_argument("--mask-threshold", type=float, default=0.0)
+    parser.add_argument("--keep-cols", type=str, default=None)
+    parser.add_argument("--num-workers", type=int, default=1,
+                        help="Reference CLI compatibility (slicing is vectorized).")
+    parser.add_argument("--quiet", action="store_true")
+    args = parser.parse_args(argv)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    graphs_npz = os.path.join(args.output_dir, "windows_graphs.npz")
+    meta_tsv = os.path.join(args.output_dir, "windows_metadata.tsv")
+    args.output = meta_tsv  # for setup_and_read_input
+
+    df, log_path, propagate = setup_and_read_input(args, need_model=False)
+
+    graph_map: dict[str, GraphArrays] = {}
+    meta_list = []
+    for _, row in df.iterrows():
+        struct = row[args.structure_column_name]
+        if not isinstance(struct, str):
+            if not args.quiet:
+                print(f"Skipping {row[args.id_column]}: not a string")
+            continue
+        windows = structure_to_windows(
+            struct, args.L, args.keep_paired_neighbors, args.mask_threshold
+        )
+        other = {c: row[c] for c in propagate if c in row}
+        for start, g in windows:
+            if int(g.edge_src.max(initial=-1)) >= g.n_nodes:
+                raise RuntimeError(f"Bad window at {row[args.id_column]}_{start}")
+            wid = f"{row[args.id_column]}_{start}"
+            graph_map[wid] = g
+            meta_list.append(
+                {
+                    "window_id": wid,
+                    args.id_column: row[args.id_column],
+                    "window_start": int(start),
+                    "window_end": int(start) + args.L - 1,
+                    "seq_len": len(struct),
+                    **other,
+                }
+            )
+
+    save_windows_graphs(graphs_npz, graph_map)
+    meta_df = pd.DataFrame(meta_list)
+    leading = ["window_id", args.id_column, "window_start", "window_end", "seq_len"]
+    others = [c for c in meta_df.columns if c not in leading]
+    meta_df = meta_df[leading + others]
+    meta_df.to_csv(meta_tsv, sep="\t", index=False, na_rep="NaN")
+    if not args.quiet:
+        print(f"Saved {len(graph_map)} graphs to {graphs_npz}")
+        print(f"Saved metadata to {meta_tsv}")
+    log_information(
+        log_path,
+        {"graphs": graphs_npz, "metadata": meta_tsv, "n_windows": len(meta_df)},
+        "Summary",
+    )
+
+
+if __name__ == "__main__":
+    main()

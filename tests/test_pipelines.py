@@ -1,0 +1,169 @@
+"""End-to-end pipeline tests: embed CLI, distances CLI, windows pipeline
+(window semantics checked against the reference's generate_slices run
+read-only with stubs)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+CKPT = "/root/reference/src/ginfinity/weights/gin_weights_regression_180925.pth"
+SAMPLE = "/root/reference/example_data/sample_dataset.csv"
+
+
+@pytest.fixture(scope="module")
+def mini_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("data") / "mini.csv"
+    pd.read_csv(SAMPLE).head(8).to_csv(p, index=False)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def emb_tsv(tmp_path_factory, mini_csv):
+    out = str(tmp_path_factory.mktemp("out") / "emb.tsv")
+    from ginfinity_tpu.pipelines.embed import main
+
+    main([
+        "--input", mini_csv,
+        "--output", out,
+        "--model-path", CKPT,
+        "--id-column", "rnacentral_id",
+        "--quiet",
+    ])
+    return out
+
+
+class TestEmbedCLI:
+    def test_output_schema(self, emb_tsv):
+        df = pd.read_csv(emb_tsv, sep="\t")
+        assert len(df) == 8
+        assert df.columns[0] == "rnacentral_id"
+        assert "embedding_vector" in df.columns
+        vecs = [np.array(s.split(","), dtype=np.float32) for s in df["embedding_vector"]]
+        assert all(v.shape == (128,) for v in vecs)
+        assert all(np.isfinite(v).all() for v in vecs)
+        # %.6f fixed-point serialization like the reference
+        assert all(len(tok.split(".")[-1]) == 6 for tok in df["embedding_vector"][0].split(","))
+
+    def test_log_written(self, emb_tsv):
+        assert os.path.exists(emb_tsv.replace(".tsv", ".log"))
+
+    def test_invalid_rows_skipped(self, tmp_path):
+        df = pd.DataFrame(
+            {
+                "id": ["a", "b", "c"],
+                "secondary_structure": ["((..))", "((..", "...."],
+            }
+        )
+        inp = str(tmp_path / "in.csv")
+        out = str(tmp_path / "out.tsv")
+        df.to_csv(inp, index=False)
+        from ginfinity_tpu.pipelines.embed import main
+
+        main(["--input", inp, "--output", out, "--model-path", CKPT,
+              "--id-column", "id", "--quiet"])
+        res = pd.read_csv(out, sep="\t")
+        assert list(res["id"]) == ["a", "c"]
+
+
+class TestDistancesCLI:
+    def test_all_pairs(self, emb_tsv, tmp_path):
+        from ginfinity_tpu.pipelines.distances import main
+
+        out = str(tmp_path / "d.tsv")
+        main(["--input", emb_tsv, "--output", out, "--id-column", "rnacentral_id"])
+        d = pd.read_csv(out, sep="\t")
+        assert len(d) == 8 * 7 // 2
+        assert set(d.columns) == {"rnacentral_id_1", "rnacentral_id_2", "distance"}
+        # cross-check one pair by hand
+        emb = pd.read_csv(emb_tsv, sep="\t")
+        v = [np.array(s.split(","), dtype=np.float32) for s in emb["embedding_vector"]]
+        expect = float(np.sum((v[0] - v[1]) ** 2))
+        got = float(d.iloc[0]["distance"])
+        assert abs(expect - got) < 1e-4
+
+    def test_query_mode(self, emb_tsv, tmp_path):
+        from ginfinity_tpu.pipelines.distances import main
+
+        emb = pd.read_csv(emb_tsv, sep="\t")
+        q = emb["rnacentral_id"][0]
+        out = str(tmp_path / "q.tsv")
+        main(["--input", emb_tsv, "--output", out, "--id-column", "rnacentral_id",
+              "--mode", "2", "--query", str(q)])
+        d = pd.read_csv(out, sep="\t")
+        assert len(d) == 7
+        assert (d["rnacentral_id_1"] == q).all()
+
+
+class TestWindows:
+    def test_windows_match_reference_slices(self, reference_utils, sample_structures):
+        """Node sets and edge sets of every window must match the
+        reference's generate_slices + adjacency cleanup."""
+        import sys
+
+        sys.path.insert(0, "/root/reference/src")
+        from ginfinity.scripts.generate_windows import generate_slices
+
+        from ginfinity_tpu.pipelines.windows import structure_to_windows
+
+        L = 12
+        for seq, s in sample_structures[:6]:
+            G = reference_utils.dotbracket_to_graph(s)
+            ref_slices = generate_slices(G, L, keep_paired_neighbors=True)
+            ours = structure_to_windows(s, L, keep_paired_neighbors=True)
+            assert len(ref_slices) == len(ours)
+            for (rs, H), (os_, g) in zip(ref_slices, ours):
+                assert rs == os_
+                ref_nodes = sorted(H.nodes())
+                assert g.n_nodes == len(ref_nodes)
+                relabel = {n: k for k, n in enumerate(ref_nodes)}
+                ref_edges = set()
+                for u, v, d in H.edges(data=True):
+                    a, b = relabel[u], relabel[v]
+                    t = d.get("edge_type")
+                    ref_edges.add((min(a, b), max(a, b), t))
+                our_edges = set()
+                for k in range(g.n_edges):
+                    a, b = int(g.edge_src[k]), int(g.edge_dst[k])
+                    t = "adjacent" if g.edge_attr[k, 0] > 0 else "base_pair"
+                    our_edges.add((min(a, b), max(a, b), t))
+                assert ref_edges == our_edges, (s, rs)
+
+    def test_mask_threshold(self):
+        from ginfinity_tpu.pipelines.windows import window_starts_mask
+
+        # all-dots window has 0 paired fraction
+        m = window_starts_mask("....((((....))))", 4, 0.3)
+        assert not m[0]
+        assert m[4]
+
+    def test_cli_roundtrip(self, tmp_path, mini_csv):
+        from ginfinity_tpu.pipelines.windows import load_windows_graphs, main
+
+        outdir = str(tmp_path / "w")
+        main(["--input", mini_csv, "--output-dir", outdir, "--id-column",
+              "rnacentral_id", "--L", "40", "--keep-paired-neighbors",
+              "--mask-threshold", "0.2", "--quiet"])
+        meta = pd.read_csv(os.path.join(outdir, "windows_metadata.tsv"), sep="\t")
+        graphs = load_windows_graphs(os.path.join(outdir, "windows_graphs.npz"))
+        assert len(meta) == len(graphs) > 0
+        assert set(meta["window_id"]) == set(graphs)
+
+    def test_embed_from_windows(self, tmp_path, mini_csv):
+        from ginfinity_tpu.pipelines.embed import main as embed_main
+        from ginfinity_tpu.pipelines.windows import main as win_main
+
+        outdir = str(tmp_path / "w2")
+        win_main(["--input", mini_csv, "--output-dir", outdir, "--id-column",
+                  "rnacentral_id", "--L", "80", "--quiet"])
+        out = str(tmp_path / "wemb.tsv")
+        embed_main([
+            "--graph-pt", os.path.join(outdir, "windows_graphs.npz"),
+            "--meta-tsv", os.path.join(outdir, "windows_metadata.tsv"),
+            "--output", out, "--model-path", CKPT,
+            "--id-column", "rnacentral_id", "--quiet",
+        ])
+        df = pd.read_csv(out, sep="\t")
+        assert df.columns[0] == "window_id"
+        assert len(df) > 0

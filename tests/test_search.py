@@ -1,0 +1,56 @@
+"""Sharded top-k search: exactness vs brute force on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from ginfinity_tpu.parallel.mesh import make_data_mesh
+from ginfinity_tpu.parallel.search import TopKSearcher, brute_force_topk, recall_at_k
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(1000, 64)).astype(np.float32)
+    queries = rng.normal(size=(37, 64)).astype(np.float32)
+    return corpus, queries
+
+
+class TestTopKSearcher:
+    def test_mesh_has_8_devices(self):
+        assert make_data_mesh().devices.size == 8
+
+    @pytest.mark.parametrize("metric", ["sqeuclidean", "cosine", "dot"])
+    def test_exact_vs_brute_force(self, data, metric):
+        corpus, queries = data
+        s = TopKSearcher(corpus, metric=metric, query_block=64)
+        v, i = s.search(queries, k=10)
+        tv, ti = brute_force_topk(corpus, queries, 10, metric=metric)
+        assert recall_at_k(i, ti) == 1.0
+        np.testing.assert_allclose(np.sort(v, 1), np.sort(tv, 1), rtol=1e-4, atol=1e-4)
+
+    def test_sqeuclidean_scores_are_distances(self, data):
+        corpus, queries = data
+        s = TopKSearcher(corpus, query_block=64)
+        v, i = s.search(queries[:3], k=5)
+        for q in range(3):
+            d = np.sum((corpus[i[q]] - queries[q]) ** 2, axis=1)
+            np.testing.assert_allclose(v[q], d, rtol=1e-3, atol=1e-3)
+
+    def test_k_clamped_to_corpus(self):
+        corpus = np.eye(5, 8, dtype=np.float32)
+        s = TopKSearcher(corpus, query_block=8)
+        v, i = s.search(corpus[:2], k=50)
+        assert v.shape == (2, 5)
+        # nearest neighbour of a corpus row is itself at distance 0
+        assert i[0, 0] == 0 and v[0, 0] < 1e-5
+
+    def test_uneven_corpus_padding(self):
+        # corpus size not divisible by 8 devices
+        rng = np.random.default_rng(1)
+        corpus = rng.normal(size=(13, 16)).astype(np.float32)
+        s = TopKSearcher(corpus, query_block=4)
+        v, i = s.search(corpus, k=13)
+        # padding rows must never appear in results
+        assert i.max() < 13
+        for q in range(13):
+            assert i[q, 0] == q
