@@ -15,6 +15,10 @@ re-designed TPU-first:
 
 __version__ = "0.1.0"
 
+from ginfinity_tpu.utils.jaxinit import init_jax_defaults as _init_jax_defaults
+
+_init_jax_defaults()
+
 from ginfinity_tpu.graphs.dotbracket import is_valid_dot_bracket, pair_table
 from ginfinity_tpu.graphs.build import GraphArrays, build_graph_arrays
 from ginfinity_tpu.models.gine import GINConfig, GINModel

@@ -1,0 +1,310 @@
+"""3-state affine pair-HMM forward/backward and profile-DP wavefronts.
+
+TPU-native replacements for the reference MSA engine's numba kernels
+(embed_msa.py:378-517 forward/backward, :874-985 profile DP), as batched
+anti-diagonal ``lax.scan``s like :mod:`ginfinity_tpu.ops.dp`.
+
+**Documented deviation (bug fix):** the reference's forward initializes
+the global-mode start state to -inf (embed_msa.py:407: ``M[0,0] = 0.0 if
+local else NEG_INF``) and its backward pass never feeds mass into the
+gap states (:459-496), which makes the "posteriors" numerically
+degenerate (finite only near one diagonal).  Here the forward/backward
+is the actual ProbCons-style sum-product in log space:
+
+  forward   M[i,j] = L[i-1,j-1] + lse(M,X,Y at [i-1,j-1]);  M[0,0] = 0
+            X[i,j] = lse(M[i-1,j] + go, X[i-1,j] + ge)
+            Y[i,j] = lse(M[i,j-1] + go, Y[i,j-1] + ge)
+            Z = lse(M,X,Y at [La,Lb])
+  backward  B_M[i,j] = lse(L[i,j] + B_M[i+1,j+1], go + B_X[i+1,j], go + B_Y[i,j+1])
+            B_X[i,j] = lse(L[i,j] + B_M[i+1,j+1], ge + B_X[i+1,j])
+            B_Y[i,j] = lse(L[i,j] + B_M[i+1,j+1], ge + B_Y[i,j+1])
+  posterior P[i-1,j-1] = exp(M[i,j] + B_M[i,j] - Z)  in [0, 1].
+
+The profile-DP (`profile_align`) replicates the reference recurrence
+exactly (max-merge of all three states into M plus the column score;
+embed_msa.py:874-930) including its value-based traceback semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = jnp.float32(-1e30)
+
+
+def _lse2(a, b):
+    m = jnp.maximum(a, b)
+    m_safe = jnp.maximum(m, NEG)
+    return jnp.where(
+        m <= NEG, NEG, m_safe + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe))
+    )
+
+
+def _lse3(a, b, c):
+    m = jnp.maximum(jnp.maximum(a, b), c)
+    m_safe = jnp.maximum(m, NEG)
+    return jnp.where(
+        m <= NEG,
+        NEG,
+        m_safe
+        + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe) + jnp.exp(c - m_safe)),
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def _forward(L, l1, l2, go, ge):
+    """Sum-product forward. Returns (M_diag [D+1, B, I], Z [B])."""
+    B, L1, L2 = L.shape
+    D = L1 + L2
+    iidx = jnp.arange(L1 + 1)
+
+    def shift_down(x, fill=NEG):
+        return jnp.concatenate([jnp.full((B, 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+    # The M-merge needs M, X, Y at diag d-2; carry two past diagonals of each.
+    def step2(carry, d):
+        M1, M2, X1, X2, Y1, Y2, Z, Mend = carry
+        j = d - iidx
+        jf = j.astype(jnp.float32)
+        valid = (iidx <= l1[:, None]) & (j[None, :] >= 0) & (j[None, :] <= l2[:, None])
+
+        si = jnp.clip(iidx - 1, 0, L1 - 1)
+        sj = jnp.clip(j - 1, 0, L2 - 1)
+        s = L[:, si, sj]
+
+        Mdd = shift_down(M2)  # M[i-1, j-1]
+        Xdd = shift_down(X2)
+        Ydd = shift_down(Y2)
+        M = s + _lse3(Mdd, Xdd, Ydd)
+
+        Mup = shift_down(M1)  # M[i-1, j]
+        Xup = shift_down(X1)
+        X = _lse2(Mup + go, Xup + ge)
+        Y = _lse2(M1 + go, Y1 + ge)  # M[i, j-1], Y[i, j-1]
+
+        # boundaries
+        is_i0 = iidx[None, :] == 0
+        is_j0 = j[None, :] == 0
+        # M[0,0] = 0 handled in init (d=0); M on boundary rows = NEG
+        M = jnp.where(is_i0 | is_j0, NEG, M)
+        # X[i,0] = go + ge*(i-1); X[0,j] = NEG
+        X = jnp.where(
+            is_j0,
+            go + ge * (iidx[None, :].astype(jnp.float32) - 1.0),
+            jnp.where(is_i0, NEG, X),
+        )
+        Y = jnp.where(is_i0, go + ge * (jf[None, :] - 1.0), jnp.where(is_j0, NEG, Y))
+
+        M = jnp.where(valid, M, NEG)
+        X = jnp.where(valid, X, NEG)
+        Y = jnp.where(valid, Y, NEG)
+
+        at_end = d == (l1 + l2)
+        m_end = jnp.take_along_axis(M, l1[:, None], axis=1)[:, 0]
+        x_end = jnp.take_along_axis(X, l1[:, None], axis=1)[:, 0]
+        y_end = jnp.take_along_axis(Y, l1[:, None], axis=1)[:, 0]
+        Z = jnp.where(at_end, _lse3(m_end, x_end, y_end), Z)
+
+        return (M, M1, X, X1, Y, Y1, Z, Mend), M
+
+    M0 = jnp.full((B, L1 + 1), NEG).at[:, 0].set(0.0)  # diag 0: cell (0,0)
+    X0 = jnp.full((B, L1 + 1), NEG)
+    Y0 = jnp.full((B, L1 + 1), NEG)
+    Mm1 = jnp.full((B, L1 + 1), NEG)  # "diag -1"
+    Z0 = jnp.full((B,), NEG)
+
+    (_, _, _, _, _, _, Z, _), Ms = jax.lax.scan(
+        step2,
+        (M0, Mm1, X0, Mm1, Y0, Mm1, Z0, Z0),
+        jnp.arange(1, D + 1),
+    )
+    # prepend diag 0
+    Ms = jnp.concatenate([M0[None], Ms], axis=0)  # [D+1, B, I]
+    return Ms, Z
+
+
+@partial(jax.jit, static_argnames=())
+def _backward(L, l1, l2, go, ge):
+    """Sum-product backward; returns B_M over diagonals [D+1, B, I]."""
+    B, L1, L2 = L.shape
+    D = L1 + L2
+    iidx = jnp.arange(L1 + 1)
+
+    def shift_up(x, fill=NEG):
+        # x[:, i] -> value at i+1
+        return jnp.concatenate([x[:, 1:], jnp.full((B, 1), fill, x.dtype)], axis=1)
+
+    def step(carry, d):
+        # processing diagonal d (descending); carry holds diag d+1 and d+2
+        BM1, BM2, BX1, BY1 = carry
+        j = d - iidx
+        valid = (iidx <= l1[:, None]) & (j[None, :] >= 0) & (j[None, :] <= l2[:, None])
+        in_range = (iidx[None, :] < l1[:, None]) & (j[None, :] < l2[:, None])
+
+        # L[i, j] for transition out of (i, j)
+        si = jnp.clip(iidx, 0, L1 - 1)
+        sj = jnp.clip(j, 0, L2 - 1)
+        s = L[:, si, sj]
+        s = jnp.where(in_range, s, NEG)
+
+        BMdd = shift_up(BM2)  # B_M[i+1, j+1] lives on diag d+2 at index i+1
+        BXup = shift_up(BX1)  # B_X[i+1, j] on diag d+1 at index i+1
+        BYright = BY1  # B_Y[i, j+1] on diag d+1 at index i
+
+        diag_term = s + BMdd
+        can_gap_x = iidx[None, :] < l1[:, None]
+        can_gap_y = j[None, :] < l2[:, None]
+        gx = jnp.where(can_gap_x, go + BXup, NEG)
+        gy = jnp.where(can_gap_y, go + BYright, NEG)
+        BM = _lse3(diag_term, gx, gy)
+        BX = _lse2(diag_term, jnp.where(can_gap_x, ge + BXup, NEG))
+        BY = _lse2(diag_term, jnp.where(can_gap_y, ge + BYright, NEG))
+
+        # end cell (l1, l2): all states end with log-prob 0
+        at_end_cell = (iidx[None, :] == l1[:, None]) & (j[None, :] == l2[:, None])
+        BM = jnp.where(at_end_cell, 0.0, BM)
+        BX = jnp.where(at_end_cell, 0.0, BX)
+        BY = jnp.where(at_end_cell, 0.0, BY)
+
+        BM = jnp.where(valid, BM, NEG)
+        BX = jnp.where(valid, BX, NEG)
+        BY = jnp.where(valid, BY, NEG)
+        return (BM, BM1, BX, BY), BM
+
+    init = (
+        jnp.full((B, L1 + 1), NEG),
+        jnp.full((B, L1 + 1), NEG),
+        jnp.full((B, L1 + 1), NEG),
+        jnp.full((B, L1 + 1), NEG),
+    )
+    _, BMs = jax.lax.scan(step, init, jnp.arange(D, -1, -1))
+    return BMs[::-1]  # [D+1, B, I], diag-major ascending
+
+
+def _unshear(diag_major: np.ndarray, b: int, L1: int, L2: int) -> np.ndarray:
+    """[D+1, I] diagonals -> dense [L1+1, L2+1]."""
+    out = np.full((L1 + 1, L2 + 1), -1e30, np.float32)
+    for d in range(L1 + L2 + 1):
+        i_lo = max(0, d - L2)
+        i_hi = min(d, L1)
+        i = np.arange(i_lo, i_hi + 1)
+        out[i, d - i] = diag_major[d, b, i]
+    return out
+
+
+def pairhmm_posteriors(
+    score_mats: list[np.ndarray], gap_open: float, gap_extend: float
+) -> list[np.ndarray]:
+    """Batched match posteriors P(i~j) for log-odds matrices.
+
+    Pads to the batch max shape; returns per-pair [La, Lb] float32 in
+    [0, 1]."""
+    B = len(score_mats)
+    L1 = max(m.shape[0] for m in score_mats)
+    L2 = max(m.shape[1] for m in score_mats)
+    L = np.full((B, L1, L2), -1e4, np.float32)
+    l1 = np.zeros(B, np.int32)
+    l2 = np.zeros(B, np.int32)
+    for k, m in enumerate(score_mats):
+        L[k, : m.shape[0], : m.shape[1]] = m
+        l1[k], l2[k] = m.shape
+
+    Lj = jnp.asarray(L)
+    l1j = jnp.asarray(l1)
+    l2j = jnp.asarray(l2)
+    go = jnp.float32(gap_open)
+    ge = jnp.float32(gap_extend)
+    Ms, Z = _forward(Lj, l1j, l2j, go, ge)
+    BMs = _backward(Lj, l1j, l2j, go, ge)
+    Ms = np.asarray(Ms)
+    BMs = np.asarray(BMs)
+    Z = np.asarray(Z)
+
+    out = []
+    for k, m in enumerate(score_mats):
+        la, lb = m.shape
+        Mf = _unshear(Ms, k, L1, L2)[1 : la + 1, 1 : lb + 1]
+        Mb = _unshear(BMs, k, L1, L2)[1 : la + 1, 1 : lb + 1]
+        P = np.exp(np.clip(Mf + Mb - Z[k], -80.0, 0.0)).astype(np.float32)
+        out.append(P)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Profile-profile DP (max-merge variant; embed_msa.py:874-930 parity)
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def _profile_wavefront(S, l1, l2, go, ge):
+    B, L1, L2 = S.shape
+    D = L1 + L2
+    iidx = jnp.arange(L1 + 1)
+
+    def shift_down(x, fill=NEG):
+        return jnp.concatenate([jnp.full((B, 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+    def step(carry, d):
+        M1, M2, X1, X2, Y1, Y2 = carry
+        j = d - iidx
+        valid = (iidx <= l1[:, None]) & (j[None, :] >= 0) & (j[None, :] <= l2[:, None])
+        si = jnp.clip(iidx - 1, 0, L1 - 1)
+        sj = jnp.clip(j - 1, 0, L2 - 1)
+        s = S[:, si, sj]
+
+        Mdd, Xdd, Ydd = shift_down(M2), shift_down(X2), shift_down(Y2)
+        M = s + jnp.maximum(jnp.maximum(Mdd, Xdd), Ydd)
+        Mup, Xup = shift_down(M1), shift_down(X1)
+        X = jnp.maximum(Mup + go, Xup + ge)
+        Y = jnp.maximum(M1 + go, Y1 + ge)
+
+        is_i0 = iidx[None, :] == 0
+        is_j0 = j[None, :] == 0
+        M = jnp.where(is_i0 | is_j0, NEG, M)
+        # Boundary chains X[i,0] = max(M[i-1,0]+go, X[i-1,0]+ge) telescope to
+        # go + ge*(i-1) (embed_msa.py:887-890); encode in closed form.
+        X = jnp.where(
+            is_j0 & (iidx[None, :] >= 1),
+            go + ge * (iidx[None, :].astype(jnp.float32) - 1.0),
+            X,
+        )
+        Y = jnp.where(
+            is_i0 & (j[None, :] >= 1),
+            go + ge * (j[None, :].astype(jnp.float32) - 1.0),
+            Y,
+        )
+
+        M = jnp.where(valid, M, NEG)
+        X = jnp.where(valid, X, NEG)
+        Y = jnp.where(valid, Y, NEG)
+        return (M, M1, X, X1, Y, Y1), (M, X, Y)
+
+    M0 = jnp.full((B, L1 + 1), NEG).at[:, 0].set(0.0)
+    X0 = jnp.full((B, L1 + 1), NEG)
+    Y0 = jnp.full((B, L1 + 1), NEG)
+    Mm1 = jnp.full((B, L1 + 1), NEG)
+    _, (Ms, Xs, Ys) = jax.lax.scan(
+        step, (M0, Mm1, X0, Mm1, Y0, Mm1), jnp.arange(1, D + 1)
+    )
+    pre = lambda z0, zs: jnp.concatenate([z0[None], zs], axis=0)
+    return pre(M0, Ms), pre(X0, Xs), pre(Y0, Ys)
+
+
+def profile_align(S: np.ndarray, gap_open: float, gap_extend: float):
+    """Run the reference's profile-profile affine DP on one score matrix.
+
+    Returns dense (M, X, Y) [(L1+1, L2+1)] for the reference's
+    value-based traceback (embed_msa.py:1042-1054)."""
+    L1, L2 = S.shape
+    Ms, Xs, Ys = _profile_wavefront(
+        jnp.asarray(S[None]), jnp.asarray([L1], np.int32), jnp.asarray([L2], np.int32),
+        jnp.float32(gap_open), jnp.float32(gap_extend),
+    )
+    M = _unshear(np.asarray(Ms), 0, L1, L2)
+    X = _unshear(np.asarray(Xs), 0, L1, L2)
+    Y = _unshear(np.asarray(Ys), 0, L1, L2)
+    return M, X, Y

@@ -1,0 +1,695 @@
+"""``ginfinity-embed-msa`` — embedding-based multiple sequence alignment.
+
+Reference CLI parity: src/ginfinity/scripts/embed_msa.py (T-Coffee /
+ProbCons-style pipeline; same stages, flags, and output files):
+
+1. load TSV, L2-normalize per-position embeddings, optional center trim
+2. pair selection (all pairs, kNN on mean embeddings when > --max-pairs)
+3. cosine -> calibrated log-odds ``logit(sigmoid(alpha*s + beta))``
+4. pair-HMM forward/backward -> match posteriors
+   (**batched device wavefronts** — ginfinity_tpu.ops.pairhmm — replacing
+   the numba kernels; see that module for the documented bug fix to the
+   reference's degenerate forward/backward initialization)
+5. top-K row/col-intersection sparsification with pmin
+6. T-Coffee consistency transform — computed as **dense masked matmuls
+   on the MXU** (P'_AB = (1-lam) P_AB + lam * mean_C P_AC @ P_CB), exactly
+   equivalent to the reference's sparse dict triple products
+7. guide tree (NJ / UPGMA) from 1 - mean(P) distances
+8. progressive profile-profile alignment (device wavefront DP, reference
+   scoring: struct dot + 0.2 stem-compat bonus, optional dual modality)
+9. refinement hook (placeholder, as in the reference)
+10. FASTA / Stockholm / TSV outputs + diagnostics JSON/heatmaps
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+
+# ==========================================================================
+# Records and I/O (embed_msa.py:82-312 semantics)
+# ==========================================================================
+
+
+@dataclass
+class SequenceRecord:
+    name: str
+    emb: np.ndarray  # (L, D)
+    dotbracket: Optional[str] = None
+    paired_idx: Optional[list[int]] = None
+    base_emb: Optional[np.ndarray] = None
+
+
+def _json_loads_maybe(x):
+    if isinstance(x, (list, dict)):
+        return x
+    if isinstance(x, str):
+        x = x.strip()
+        if not x:
+            return None
+        try:
+            return json.loads(x)
+        except Exception:
+            return None
+    return None
+
+
+def _l2_normalize_rows(x: np.ndarray) -> np.ndarray:
+    norms = np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-8)
+    return (x / norms).astype(np.float32)
+
+
+def _dotbracket_to_pairs(db: str) -> list[int]:
+    L = len(db)
+    pairs = [-1] * L
+    stacks = {"(": [], "[": [], "{": []}
+    mates = {")": "(", "]": "[", "}": "{"}
+    for i, ch in enumerate(db):
+        if ch in stacks:
+            stacks[ch].append(i)
+        elif ch in mates and stacks[mates[ch]]:
+            j = stacks[mates[ch]].pop()
+            pairs[i] = j
+            pairs[j] = i
+    return pairs
+
+
+def _pairs_to_dotbracket(pairs: list[int]) -> str:
+    return "".join(
+        "." if j == -1 else ("(" if j > i else ")") for i, j in enumerate(pairs)
+    )
+
+
+def load_tsv(path, name_col, embeds_col, dotbracket_col=None, paired_col=None,
+             base_embeds_col=None) -> list[SequenceRecord]:
+    import pandas as pd
+
+    df = pd.read_csv(path, sep="\t")
+    if name_col not in df.columns or embeds_col not in df.columns:
+        raise ValueError(f"Missing required columns: {name_col}, {embeds_col}")
+    records = []
+    for idx, row in df.iterrows():
+        name = str(row[name_col])
+        raw = _json_loads_maybe(row[embeds_col])
+        if raw is None:
+            print(f"[WARN] Row {idx} ('{name}') has invalid embeddings; skipping.")
+            continue
+        emb = np.array(raw, dtype=np.float32)
+        if emb.ndim != 2 or emb.shape[0] == 0:
+            print(f"[WARN] Row {idx} ('{name}') embeddings malformed; skipping.")
+            continue
+        dotbracket = None
+        paired_idx = None
+        if paired_col and paired_col in df.columns:
+            p = _json_loads_maybe(row[paired_col])
+            if isinstance(p, list) and len(p) == emb.shape[0]:
+                paired_idx = [int(v) for v in p]
+        if paired_idx is None and dotbracket_col and dotbracket_col in df.columns:
+            db = row[dotbracket_col]
+            if isinstance(db, str) and len(db) == emb.shape[0]:
+                dotbracket = db
+                paired_idx = _dotbracket_to_pairs(db)
+        base_arr = None
+        if base_embeds_col and base_embeds_col in df.columns:
+            b = _json_loads_maybe(row[base_embeds_col])
+            if isinstance(b, list):
+                base_arr = np.array(b, dtype=np.float32)
+                if base_arr.ndim != 2:
+                    base_arr = None
+                elif base_arr.shape[0] == emb.shape[0] + 2:
+                    base_arr = base_arr[1:-1]
+                elif base_arr.shape[0] != emb.shape[0]:
+                    print(f"[WARN] Row {idx} ('{name}') base embeddings length mismatch; ignoring.")
+                    base_arr = None
+        records.append(SequenceRecord(name, emb, dotbracket, paired_idx, base_arr))
+    return records
+
+
+def apply_center_trim(records, fraction):
+    trims = []
+    for rec in records:
+        L = rec.emb.shape[0]
+        frac = max(0.0, min(1.0, fraction))
+        keep = max(1, min(L, int(round(L * frac))))
+        start = (L - keep) // 2
+        end = min(L, start + keep)
+        trims.append((start, end))
+        if start <= 0 and end >= L:
+            continue
+        rec.emb = rec.emb[start:end].copy()
+        if rec.base_emb is not None:
+            rec.base_emb = rec.base_emb[start:end].copy()
+        src = rec.paired_idx or (
+            _dotbracket_to_pairs(rec.dotbracket) if rec.dotbracket else None
+        )
+        if src is not None:
+            new_pairs = [
+                -1 if (src[i] < start or src[i] >= end or src[i] < 0) else src[i] - start
+                for i in range(start, end)
+            ]
+            rec.paired_idx = new_pairs
+            rec.dotbracket = _pairs_to_dotbracket(new_pairs)
+        elif rec.dotbracket is not None:
+            rec.dotbracket = rec.dotbracket[start:end]
+    return trims
+
+
+# ==========================================================================
+# Pair selection + calibration (embed_msa.py:319-371)
+# ==========================================================================
+
+
+def pairwise_pairs_to_compute(records, max_pairs):
+    N = len(records)
+    pairs = [(i, j) for i in range(N) for j in range(i + 1, N)]
+    if N <= 1:
+        return []
+    if max_pairs is None or max_pairs <= 0 or len(pairs) <= max_pairs:
+        return pairs
+    means = np.stack([
+        r.emb.mean(axis=0) / (np.linalg.norm(r.emb.mean(axis=0)) + 1e-8) for r in records
+    ]).astype(np.float32)
+    sims = means @ means.T
+    k = max(1, int(max_pairs / max(1, N)))
+    nn_pairs = set()
+    for i in range(N):
+        order = np.argsort(-sims[i])
+        c = 0
+        for j in order:
+            if j == i:
+                continue
+            nn_pairs.add((min(i, j), max(i, j)))
+            c += 1
+            if c >= k:
+                break
+    pairs = sorted(nn_pairs)
+    return pairs[:max_pairs] if len(pairs) > max_pairs else pairs
+
+
+def calibrate_log_odds(S, alpha, beta):
+    X = alpha * S + beta
+    p = np.clip(1.0 / (1.0 + np.exp(-X)), 1e-6, 1.0 - 1e-6)
+    return (np.log(p) - np.log(1.0 - p)).astype(np.float32)
+
+
+# ==========================================================================
+# Sparsification (vectorized; embed_msa.py:524-562 semantics)
+# ==========================================================================
+
+
+def sparsify_topk_mask(P: np.ndarray, topk: int, pmin: float = 1e-4) -> np.ndarray:
+    """Boolean keep-mask: entries in the row top-K AND column top-K with
+    P >= pmin (the reference's row/col intersection rule)."""
+    La, Lb = P.shape
+    row_mask = np.zeros_like(P, dtype=bool)
+    k = min(topk, Lb)
+    idx = np.argpartition(-P, k - 1, axis=1)[:, :k]
+    np.put_along_axis(row_mask, idx, True, axis=1)
+    col_mask = np.zeros_like(P, dtype=bool)
+    k = min(topk, La)
+    idx = np.argpartition(-P, k - 1, axis=0)[:k, :]
+    np.put_along_axis(col_mask, idx, True, axis=0)
+    return row_mask & col_mask & (P >= pmin)
+
+
+# ==========================================================================
+# Consistency transform as dense masked matmuls (embed_msa.py:565-681)
+# ==========================================================================
+
+
+def consistency_round(post: dict, N: int, lam: float = 0.5, topk: int = 20,
+                      pmin: float = 1e-4) -> dict:
+    """One T-Coffee consistency round over sparse-as-dense posteriors.
+
+    ``post[(a, b)]`` is the dense (already sparsified: zeros elsewhere)
+    posterior matrix.  P'_AB = (1-lam) P_AB + lam * mean_C (P_AC @ P_CB);
+    the matmuls run on the accelerator via jnp.
+    """
+    import jax.numpy as jnp
+
+    def get(a, b):
+        if (a, b) in post:
+            return post[(a, b)], False
+        if (b, a) in post:
+            return post[(b, a)], True
+        return None, False
+
+    out = {}
+    for (a, b), Pab in post.items():
+        La, Lb = Pab.shape
+        acc = jnp.zeros((La, Lb), jnp.float32)
+        count = 0
+        for c in range(N):
+            if c in (a, b):
+                continue
+            AC, tac = get(a, c)
+            CB, tcb = get(c, b)
+            if AC is None or CB is None:
+                continue
+            Pac = jnp.asarray(AC.T if tac else AC)  # [La, Lc]
+            Pcb = jnp.asarray(CB.T if tcb else CB)  # [Lc, Lb]
+            acc = acc + Pac @ Pcb
+            count += 1
+        newP = (1.0 - lam) * jnp.asarray(Pab) + lam * (acc / max(1, count))
+        newP = np.asarray(newP)
+        keep = sparsify_topk_mask(newP, topk, pmin)
+        out[(a, b)] = np.where(keep, newP, 0.0).astype(np.float32)
+    return out
+
+
+def build_distance_matrix(post: dict, N: int) -> np.ndarray:
+    """1 - mean(kept posteriors) as distance (embed_msa.py:684-693)."""
+    D = np.zeros((N, N), dtype=np.float32)
+    for (a, b), P in post.items():
+        vals = P[P > 0]
+        d = 1.0 if vals.size == 0 else 1.0 - float(vals.mean())
+        D[a, b] = D[b, a] = min(1.0, max(0.0, d))
+    return D
+
+
+# ==========================================================================
+# Guide tree (embed_msa.py:700-805 semantics)
+# ==========================================================================
+
+
+def build_guide_tree(D: np.ndarray, method: str = "nj"):
+    N = D.shape[0]
+    if N == 1:
+        return 0
+    clusters = {i: i for i in range(N)}
+    sizes = {i: 1 for i in range(N)}
+    dist = {(i, j): float(D[i, j]) for i in range(N) for j in range(i + 1, N)}
+    next_id = N
+    active = set(range(N))
+
+    def get_d(a, b):
+        if a == b:
+            return 0.0
+        x, y = (a, b) if a < b else (b, a)
+        return dist[(x, y)]
+
+    if method == "upgma":
+        while len(active) > 1:
+            act = sorted(active)
+            best, best_d = None, 1e9
+            for i in range(len(act)):
+                for j in range(i + 1, len(act)):
+                    d = get_d(act[i], act[j])
+                    if d < best_d:
+                        best_d, best = d, (act[i], act[j])
+            a, b = best
+            new = next_id
+            next_id += 1
+            clusters[new] = (clusters[a], clusters[b])
+            sa, sb = sizes[a], sizes[b]
+            sizes[new] = sa + sb
+            for c in list(active):
+                if c in (a, b):
+                    continue
+                dc = (get_d(a, c) * sa + get_d(b, c) * sb) / (sa + sb)
+                dist[(min(c, new), max(c, new))] = dc
+            active -= {a, b}
+            active.add(new)
+        return clusters[next(iter(active))]
+
+    # Neighbor-Joining
+    while len(active) > 2:
+        act = sorted(active)
+        m = len(act)
+        rsum = {i: sum(get_d(i, k) for k in act if k != i) for i in act}
+        best, best_q = None, 1e9
+        for i in range(len(act)):
+            for j in range(i + 1, len(act)):
+                a, b = act[i], act[j]
+                q = (m - 2) * get_d(a, b) - rsum[a] - rsum[b]
+                if q < best_q:
+                    best_q, best = q, (a, b)
+        a, b = best
+        u = next_id
+        next_id += 1
+        clusters[u] = (clusters[a], clusters[b])
+        sizes[u] = sizes[a] + sizes[b]
+        dab = get_d(a, b)
+        for k in list(active):
+            if k in (a, b):
+                continue
+            dist[(min(k, u), max(k, u))] = (get_d(a, k) + get_d(b, k) - dab) / 2.0
+        active -= {a, b}
+        active.add(u)
+    a, b = sorted(active)
+    return (clusters[a], clusters[b])
+
+
+# ==========================================================================
+# Profiles + progressive alignment (embed_msa.py:812-1129 semantics)
+# ==========================================================================
+
+
+@dataclass
+class Profile:
+    mu_struct: np.ndarray  # (L, Ds), L2-normalized rows
+    mu_base: Optional[np.ndarray]  # (L, Db) or None
+    stem: np.ndarray  # (L,)
+    member_indices: list[int]
+    aligned_chars: dict[int, list[str]] = field(default_factory=dict)
+
+
+def initial_profiles(records: list[SequenceRecord]) -> list[Profile]:
+    base_dim = next((r.base_emb.shape[1] for r in records if r.base_emb is not None), 0)
+    profiles = []
+    for idx, r in enumerate(records):
+        L = r.emb.shape[0]
+        if isinstance(r.dotbracket, str) and len(r.dotbracket) == L:
+            chars = list(r.dotbracket)
+        elif isinstance(r.paired_idx, list) and len(r.paired_idx) == L:
+            chars = list(_pairs_to_dotbracket(r.paired_idx))
+        else:
+            chars = ["X"] * L
+        stem = np.array(
+            [1.0 if (r.paired_idx and r.paired_idx[k] != -1) else 0.0 for k in range(L)],
+            np.float32,
+        )
+        mu_base = None
+        if base_dim > 0:
+            mu_base = (
+                r.base_emb.astype(np.float32)
+                if r.base_emb is not None
+                else np.zeros((L, base_dim), np.float32)
+            )
+        profiles.append(Profile(r.emb.astype(np.float32), mu_base, stem, [idx], {idx: chars}))
+    return profiles
+
+
+def merge_profiles(A: Profile, B: Profile, gap_open, gap_extend, seq_weight=0.0) -> Profile:
+    from ginfinity_tpu.ops.pairhmm import profile_align
+
+    La, Lb = A.mu_struct.shape[0], B.mu_struct.shape[0]
+    S = A.mu_struct @ B.mu_struct.T
+    if seq_weight > 0.0 and A.mu_base is not None and B.mu_base is not None:
+        S = (1.0 - seq_weight) * S + seq_weight * (A.mu_base @ B.mu_base.T)
+    comp = np.where(
+        (A.stem[:, None] >= 0.5) == (B.stem[None, :] >= 0.5), 0.2, 0.0
+    ).astype(np.float32)
+    M, X, Y = profile_align((S + comp).astype(np.float32), gap_open, gap_extend)
+
+    # reference value-based traceback (embed_msa.py:1042-1054)
+    i, j = La, Lb
+    ops = []  # 0 match, 1 gap-in-B, 2 gap-in-A
+    while i > 0 or j > 0:
+        cur_state, cur_val = 0, -1e30
+        if i > 0 and j > 0 and M[i, j] > cur_val:
+            cur_val, cur_state = M[i, j], 0
+        if i > 0 and X[i, j] > cur_val:
+            cur_val, cur_state = X[i, j], 1
+        if j > 0 and Y[i, j] > cur_val:
+            cur_val, cur_state = Y[i, j], 2
+        ops.append(cur_state)
+        if cur_state == 0:
+            i -= 1
+            j -= 1
+        elif cur_state == 1:
+            i -= 1
+        else:
+            j -= 1
+    ops.reverse()
+
+    # build merged columns
+    n_cols = len(ops)
+    ds = A.mu_struct.shape[1]
+    base_dim = 0
+    if A.mu_base is not None:
+        base_dim = A.mu_base.shape[1]
+    elif B.mu_base is not None:
+        base_dim = B.mu_base.shape[1]
+    mu_s = np.zeros((n_cols, ds), np.float32)
+    mu_b = np.zeros((n_cols, base_dim), np.float32) if base_dim else None
+    stem = np.zeros(n_cols, np.float32)
+    members = A.member_indices + B.member_indices
+    aligned = {idx: [] for idx in members}
+    ia = jb = 0
+    for k, op in enumerate(ops):
+        if op == 0:
+            v = A.mu_struct[ia] + B.mu_struct[jb]
+            mu_s[k] = v / (np.linalg.norm(v) + 1e-8)
+            if base_dim:
+                vb = np.zeros(base_dim, np.float32)
+                if A.mu_base is not None:
+                    vb += A.mu_base[ia]
+                if B.mu_base is not None:
+                    vb += B.mu_base[jb]
+                mu_b[k] = vb / (np.linalg.norm(vb) + 1e-8)
+            stem[k] = (A.stem[ia] + B.stem[jb]) / 2.0
+            for idx in A.member_indices:
+                aligned[idx].append(A.aligned_chars[idx][ia])
+            for idx in B.member_indices:
+                aligned[idx].append(B.aligned_chars[idx][jb])
+            ia += 1
+            jb += 1
+        elif op == 1:
+            mu_s[k] = A.mu_struct[ia]
+            if base_dim and A.mu_base is not None:
+                mu_b[k] = A.mu_base[ia]
+            stem[k] = A.stem[ia]
+            for idx in A.member_indices:
+                aligned[idx].append(A.aligned_chars[idx][ia])
+            for idx in B.member_indices:
+                aligned[idx].append("-")
+            ia += 1
+        else:
+            mu_s[k] = B.mu_struct[jb]
+            if base_dim and B.mu_base is not None:
+                mu_b[k] = B.mu_base[jb]
+            stem[k] = B.stem[jb]
+            for idx in A.member_indices:
+                aligned[idx].append("-")
+            for idx in B.member_indices:
+                aligned[idx].append(B.aligned_chars[idx][jb])
+            jb += 1
+    return Profile(mu_s, mu_b, stem, members, aligned)
+
+
+def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0) -> Profile:
+    def build(node):
+        if isinstance(node, int):
+            return seq_profiles[node]
+        return merge_profiles(build(node[0]), build(node[1]), gap_open, gap_extend, seq_weight)
+
+    return build(tree)
+
+
+# ==========================================================================
+# Outputs (embed_msa.py:1171-1240)
+# ==========================================================================
+
+
+def profile_to_msa_strings(profile: Profile, names: list[str]) -> dict[str, str]:
+    aln_len = len(profile.stem)
+    out = {}
+    for idx in profile.member_indices:
+        chars = profile.aligned_chars[idx]
+        if len(chars) < aln_len:
+            chars = chars + ["-"] * (aln_len - len(chars))
+        out[names[idx]] = "".join(chars[:aln_len])
+    return out
+
+
+def write_outputs(aln: Profile, names, out_prefix, diagnostics):
+    import pandas as pd
+
+    out_dir = os.path.dirname(out_prefix)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    msa = profile_to_msa_strings(aln, names)
+    with open(f"{out_prefix}.fasta", "w") as f:
+        for n in names:
+            if n in msa:
+                f.write(f">{n}\n{msa[n]}\n")
+    with open(f"{out_prefix}.sto", "w") as f:
+        f.write("# STOCKHOLM 1.0\n")
+        for n in names:
+            if n in msa:
+                f.write(f"{n} {msa[n]}\n")
+        f.write("//\n")
+    pd.DataFrame({"Name": list(msa.keys()), "Aligned": list(msa.values())}).to_csv(
+        f"{out_prefix}.aln.tsv", sep="\t", index=False
+    )
+    diag_dir = f"{out_prefix}.diagnostics"
+    os.makedirs(diag_dir, exist_ok=True)
+    if "expected_scores" in diagnostics:
+        pd.DataFrame(diagnostics["expected_scores"]).to_csv(
+            os.path.join(diag_dir, "expected_scores.tsv"), sep="\t", header=False, index=False
+        )
+    meta = {k: v for k, v in diagnostics.items() if k != "posteriors_heatmaps"}
+    with open(os.path.join(diag_dir, "run_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+# ==========================================================================
+# Main
+# ==========================================================================
+
+
+def build_parser():
+    ap = argparse.ArgumentParser(
+        description="MSA for RNAs using node embeddings (T-Coffee/ProbCons-style, TPU-native)"
+    )
+    ap.add_argument("--input", required=True, help='Input TSV path or "dummy"')
+    ap.add_argument("--name-col", default="Name")
+    ap.add_argument("--embeds-col", default="node_embeddings")
+    ap.add_argument("--base-embeds-col", default=None)
+    ap.add_argument("--dotbracket-col", default=None)
+    ap.add_argument("--paired-col", default=None)
+    ap.add_argument("--out-prefix", default=None)
+    ap.add_argument("--topk", type=int, default=20)
+    ap.add_argument("--consistency-rounds", type=int, default=1)
+    ap.add_argument("--alpha", type=float, default=None)
+    ap.add_argument("--beta", type=float, default=None)
+    ap.add_argument("--seq-weight", type=float, default=0.0)
+    ap.add_argument("--gap-open", type=float, default=-10.0)
+    ap.add_argument("--gap-extend", type=float, default=-0.5)
+    ap.add_argument("--use-center", type=float, default=None)
+    ap.add_argument("--use-local", action="store_true",
+                    help="Reference CLI compatibility (posteriors use the global model).")
+    ap.add_argument("--tree", choices=["nj", "upgma"], default="nj")
+    ap.add_argument("--refine-iters", type=int, default=0)
+    ap.add_argument("--num-workers", type=int, default=4, help="Reference CLI compatibility.")
+    ap.add_argument("--max-pairs", type=int, default=2000)
+    ap.add_argument("--pair-batch", type=int, default=16, help="Pairs per device batch.")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--plot-diagnostics", action="store_true")
+    return ap
+
+
+def main(argv=None):
+    from ginfinity_tpu.ops.pairhmm import pairhmm_posteriors
+
+    args = build_parser().parse_args(argv)
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+    t_start = time.time()
+
+    out_prefix = args.out_prefix
+    if not (out_prefix and str(out_prefix).strip()):
+        out_prefix = os.path.join(
+            f"embed_msa_out_{time.strftime('%y%m%d_%H%M%S')}", "msa"
+        )
+
+    trim_bounds = None
+    if args.input == "dummy":
+        records = [
+            SequenceRecord(
+                name=f"seq{i + 1}",
+                emb=np.random.randn(random.randint(6, 10), 16).astype(np.float32),
+            )
+            for i in range(5)
+        ]
+    else:
+        if not (0.0 <= float(args.seq_weight) <= 1.0):
+            raise SystemExit("--seq-weight must be in [0,1]")
+        records = load_tsv(args.input, args.name_col, args.embeds_col,
+                           args.dotbracket_col, args.paired_col, args.base_embeds_col)
+        if not records:
+            raise SystemExit("No valid records found.")
+
+    if args.use_center is not None:
+        frac = float(args.use_center)
+        if not (0.0 < frac <= 1.0):
+            raise SystemExit("--use-center must be in (0,1].")
+        trim_bounds = apply_center_trim(records, frac)
+
+    for r in records:
+        r.emb = _l2_normalize_rows(r.emb)
+        if r.base_emb is not None:
+            r.base_emb = _l2_normalize_rows(r.base_emb)
+
+    N = len(records)
+    names = [r.name for r in records]
+    dims = {r.emb.shape[1] for r in records}
+    if len(dims) != 1:
+        raise SystemExit("All embeddings must have the same dimension.")
+
+    alpha = args.alpha if args.alpha is not None else 5.0
+    beta = args.beta if args.beta is not None else 0.0
+    if args.alpha is None or args.beta is None:
+        print("[WARN] alpha/beta not fully provided; falling back to default alpha=5.0, beta=0.0")
+
+    pairs = pairwise_pairs_to_compute(records, args.max_pairs)
+    print(f"Computing pairwise posteriors for {len(pairs)} pairs...")
+
+    post: dict[tuple[int, int], np.ndarray] = {}
+    expected_scores = np.zeros((N, N), np.float32)
+    sims_cache: dict[tuple[int, int], np.ndarray] = {}
+    # batch pairs through the device wavefront
+    for s in range(0, len(pairs), args.pair_batch):
+        chunk = pairs[s : s + args.pair_batch]
+        mats = []
+        for a, b in chunk:
+            S = records[a].emb @ records[b].emb.T
+            if (
+                args.seq_weight > 0.0
+                and records[a].base_emb is not None
+                and records[b].base_emb is not None
+                and records[a].base_emb.shape[0] == S.shape[0]
+                and records[b].base_emb.shape[0] == S.shape[1]
+            ):
+                Sb = records[a].base_emb @ records[b].base_emb.T
+                S = (1.0 - args.seq_weight) * S + args.seq_weight * Sb
+            sims_cache[(a, b)] = S.astype(np.float32)
+            mats.append(calibrate_log_odds(S, alpha, beta))
+        Ps = pairhmm_posteriors(mats, args.gap_open, args.gap_extend)
+        for (a, b), P in zip(chunk, Ps):
+            keep = sparsify_topk_mask(P, args.topk, 1e-4)
+            Pk = np.where(keep, P, 0.0).astype(np.float32)
+            post[(a, b)] = Pk
+            S = sims_cache[(a, b)]
+            expected_scores[a, b] = expected_scores[b, a] = float((S * Pk).sum())
+
+    if N >= 3 and args.consistency_rounds > 0:
+        print(f"Running {args.consistency_rounds} consistency round(s)...")
+        for _ in range(args.consistency_rounds):
+            post = consistency_round(post, N, lam=0.5, topk=args.topk, pmin=1e-4)
+
+    D = build_distance_matrix(post, N)
+    tree = build_guide_tree(D, method=args.tree)
+
+    profiles = initial_profiles(records)
+    aln = msa_from_tree(tree, profiles, args.gap_open, args.gap_extend,
+                        seq_weight=float(args.seq_weight))
+    # refinement hook (placeholder in the reference too, embed_msa.py:1149-1164)
+
+    diagnostics: dict[str, Any] = {
+        "expected_scores": expected_scores.tolist(),
+        "num_pairs": len(pairs),
+        "N": N,
+        "alpha": alpha,
+        "beta": beta,
+        "seq_weight": float(args.seq_weight),
+        "input_path": args.input,
+        "out_prefix": out_prefix,
+        "topk": args.topk,
+        "consistency_rounds": args.consistency_rounds,
+        "gap_open": args.gap_open,
+        "gap_extend": args.gap_extend,
+        "tree_method": args.tree,
+        "refine_iters": args.refine_iters,
+        "seed": args.seed,
+        "max_pairs": args.max_pairs,
+        "timing_sec": time.time() - t_start,
+    }
+    if args.use_center is not None and trim_bounds is not None:
+        diagnostics["use_center_fraction"] = float(args.use_center)
+        diagnostics["center_trim_bounds"] = [[int(s_), int(e)] for s_, e in trim_bounds]
+    write_outputs(aln, names, out_prefix, diagnostics)
+    print(f"Done. Outputs written to: {out_prefix}.*")
+
+
+if __name__ == "__main__":
+    main()

@@ -230,9 +230,11 @@ class EarlyStopping:
 
     def __call__(self, val_loss: float, ts: TrainState):
         if self.best_loss is None or val_loss < self.best_loss - self.min_delta:
-            self.best_loss = val_loss if self.best_loss is None else val_loss
-            self.best_params = jax.tree.map(lambda x: x, ts.params)
-            self.best_model_state = jax.tree.map(lambda x: x, ts.model_state)
+            self.best_loss = val_loss
+            # device_get: the train step donates its TrainState, so device
+            # references into old params would be invalidated
+            self.best_params = jax.device_get(ts.params)
+            self.best_model_state = jax.device_get(ts.model_state)
             self.counter = 0
         else:
             self.counter += 1

@@ -30,9 +30,6 @@ def reference_utils():
     torch_geometric is not installed in this image; the reference only
     needs its ``Data`` container, which we fake with a simple namespace.
     """
-    if "ginfinity" in sys.modules:
-        return sys.modules["ginfinity.utils"]
-
     class _FakeData:
         def __init__(self, x=None, edge_index=None, edge_attr=None):
             self.x = x
