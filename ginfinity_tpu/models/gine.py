@@ -561,6 +561,21 @@ class GINModel:
             )[0],
             static_argnums=(3,),
         )
+        # Stacked variants: batches stacked on a leading axis run as one
+        # program via lax.map (one transfer per tensor for a whole corpus
+        # chunk; per-batch dispatch over a remote-TPU link is RPC-bound).
+        from ginfinity_tpu.graphs.batching import decode_wire
+
+        self._jit_forward_stacked = jax.jit(
+            lambda p, s, bs: jax.lax.map(
+                lambda b: forward_once(config, p, s, decode_wire(b))[0], bs
+            )
+        )
+        self._jit_nodes_stacked = jax.jit(
+            lambda p, s, bs: jax.lax.map(
+                lambda b: get_node_embeddings(config, p, s, decode_wire(b))[0], bs
+            )
+        )
 
     @classmethod
     def create(cls, key: jax.Array, config: GINConfig) -> "GINModel":
@@ -572,3 +587,10 @@ class GINModel:
 
     def get_node_embeddings(self, batch: GraphBatch, apply_norm: bool = True) -> jnp.ndarray:
         return self._jit_nodes(self.params, self.state, batch, apply_norm)
+
+    def forward_stacked(self, stacked) -> jnp.ndarray:
+        """Forward a stack of equal-shape WireBatches: [B, G_cap, out_dim]."""
+        return self._jit_forward_stacked(self.params, self.state, stacked)
+
+    def nodes_stacked(self, stacked) -> jnp.ndarray:
+        return self._jit_nodes_stacked(self.params, self.state, stacked)

@@ -134,6 +134,37 @@ class InferenceEngine:
         g_cap = _round_capacity(len(graphs))
         return batch_graphs(graphs, n_cap, e_cap, g_cap)
 
+    def _make_wire(self, graphs: Sequence[GraphArrays]):
+        from ginfinity_tpu.graphs.batching import batch_graphs_wire
+
+        total_nodes = sum(g.n_nodes for g in graphs)
+        total_edges = sum(g.n_edges for g in graphs)
+        n_cap, e_cap = bucket_sizes(total_nodes, total_edges)
+        g_cap = _round_capacity(len(graphs))
+        wire = batch_graphs_wire(graphs, n_cap, e_cap, g_cap)
+        if wire is None:  # codebook overflow or >u16 capacities
+            return batch_graphs(graphs, n_cap, e_cap, g_cap)
+        return wire
+
+    def _stacked_groups(self, graphs: Sequence[GraphArrays]):
+        """Pack batches in the compressed wire format, group equal-shape
+        batches and stack their leaves along a leading axis.  One group =
+        one host->device transfer per tensor + one ``lax.map`` program
+        over all its batches — transfers over a remote-TPU tunnel are
+        bandwidth-bound, so fewer/smaller payloads dominate end-to-end
+        throughput."""
+        groups: dict[tuple, list] = {}
+        for idxs in self._plan(graphs):
+            chunk = [graphs[i] for i in idxs]
+            batch = self._make_wire(chunk)
+            key = (type(batch).__name__, batch.node_feat.shape[0],
+                   batch.edge_src.shape[0], batch.num_graphs)
+            groups.setdefault(key, []).append((idxs, chunk, batch))
+        for key, items in groups.items():
+            batches = [b for _, _, b in items]
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+            yield key[0] == "WireBatch", items, stacked
+
     def embed_graphs(
         self,
         graphs: Sequence[GraphArrays],
@@ -141,13 +172,19 @@ class InferenceEngine:
     ) -> np.ndarray:
         """Graph embeddings [len(graphs), output_dim], in input order."""
         out = np.zeros((len(graphs), self.config.output_dim), np.float32)
-        for idxs in self._plan(graphs):
-            chunk = [graphs[i] for i in idxs]
-            batch = self._make_batch(chunk)
-            emb = np.asarray(self.model.forward_once(batch))[: len(chunk)]
-            out[idxs] = emb
+        pending = []
+        for is_wire, items, stacked in self._stacked_groups(graphs):
+            if is_wire:
+                pending.append((items, self.model.forward_stacked(stacked)))
+            else:  # fallback path: per-batch dispatch of plain GraphBatches
+                for idxs, _, batch in items:
+                    pending.append(([(idxs, None, None)], self.model.forward_once(batch)[None]))
             if progress:
-                progress(len(idxs))
+                progress(sum(len(idxs) for idxs, _, _ in items))
+        for items, dev in pending:
+            emb = np.asarray(dev)  # [n_batches, G_cap, D]
+            for k, (idxs, _, _) in enumerate(items):
+                out[idxs] = emb[k, : len(idxs)]
         return out
 
     def node_embeddings(
@@ -161,16 +198,24 @@ class InferenceEngine:
         ``base_only`` drops forgi meta-nodes (reference
         generate_node_embeddings.py:132-182 base-node filtering)."""
         results: list[np.ndarray | None] = [None] * len(graphs)
-        for idxs in self._plan(graphs):
-            chunk = [graphs[i] for i in idxs]
-            batch = self._make_batch(chunk)
-            x = np.asarray(self.model.get_node_embeddings(batch))
-            off = 0
-            for k, gi in enumerate(idxs):
-                n = chunk[k].n_nodes
-                take = chunk[k].n_base_nodes if base_only else n
-                results[gi] = x[off : off + take].copy()
-                off += n
+        pending = []
+        for is_wire, items, stacked in self._stacked_groups(graphs):
+            if is_wire:
+                pending.append((items, self.model.nodes_stacked(stacked)))
+            else:
+                for idxs, chunk, batch in items:
+                    pending.append(
+                        ([(idxs, chunk, None)], self.model.get_node_embeddings(batch)[None])
+                    )
             if progress:
-                progress(len(idxs))
+                progress(sum(len(idxs) for idxs, _, _ in items))
+        for items, dev in pending:
+            xs = np.asarray(dev)  # [n_batches, N_pad, D]
+            for k, (idxs, chunk, _) in enumerate(items):
+                off = 0
+                for m, gi in enumerate(idxs):
+                    n = chunk[m].n_nodes
+                    take = chunk[m].n_base_nodes if base_only else n
+                    results[gi] = xs[k, off : off + take].copy()
+                    off += n
         return results  # type: ignore[return-value]
