@@ -1,0 +1,52 @@
+"""Device-side window embedding must match the file-based windows->embed
+path exactly (same window semantics, same encoder)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+CKPT = "/root/reference/src/ginfinity/weights/gin_weights_regression_180925.pth"
+SAMPLE = "/root/reference/example_data/sample_dataset.csv"
+
+
+@pytest.fixture(scope="module")
+def model():
+    from ginfinity_tpu.models.checkpoint import import_torch_checkpoint
+    from ginfinity_tpu.models.gine import GINModel
+
+    cfg, params, state, _ = import_torch_checkpoint(CKPT)
+    return GINModel(cfg, params, state)
+
+
+class TestFastWindows:
+    @pytest.mark.parametrize("keep", [True, False])
+    def test_matches_file_based_path(self, model, keep):
+        from ginfinity_tpu.pipelines.engine import InferenceEngine, adapt_feature_dim
+        from ginfinity_tpu.pipelines.fast_windows import embed_structure_windows
+        from ginfinity_tpu.pipelines.windows import structure_to_windows
+
+        engine = InferenceEngine(model)
+        s = str(pd.read_csv(SAMPLE)["secondary_structure"].iloc[1])
+        starts, emb_dev = embed_structure_windows(model, s, 100, keep, 0.1)
+        wins = structure_to_windows(s, 100, keep, 0.1)
+        assert list(starts) == [st for st, _ in wins]
+        graphs = adapt_feature_dim(
+            [g for _, g in wins], model.config.node_feature_dim
+        )
+        emb_host = engine.embed_graphs(graphs)
+        np.testing.assert_allclose(emb_dev, emb_host, atol=1e-4, rtol=1e-4)
+
+    def test_short_structure_no_windows(self, model):
+        from ginfinity_tpu.pipelines.fast_windows import embed_structure_windows
+
+        starts, emb = embed_structure_windows(model, "((..))", 100)
+        assert starts.size == 0 and emb.shape == (0, model.config.output_dim)
+
+    def test_corpus_api(self, model):
+        from ginfinity_tpu.pipelines.fast_windows import embed_corpus_windows
+
+        res = embed_corpus_windows(model, ["." * 40 + "((((....))))" + "." * 40], 30)
+        assert len(res) == 1
+        starts, emb = res[0]
+        assert starts.size == 63 and emb.shape == (63, 128)
+        assert np.isfinite(emb).all()
