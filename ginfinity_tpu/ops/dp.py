@@ -156,21 +156,21 @@ def _wavefront(scores, l1, l2, gap_open, gap_extend, mode: str):
 
 
 def _codes_dense(codes: np.ndarray, b: int, L1: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Un-shear one pair's diagonal codes into dense TH/TE/TF [L1+1, L2+1]."""
+    """Un-shear one pair's diagonal codes into dense TH/TE/TF [L1+1, L2+1]
+    (vectorized scatter; the per-diagonal Python loop dominated wall time
+    for large batches)."""
     D = codes.shape[0]
     L2 = D - L1
     TH = np.zeros((L1 + 1, L2 + 1), np.uint8)
     TE = np.zeros((L1 + 1, L2 + 1), np.uint8)
     TF = np.zeros((L1 + 1, L2 + 1), np.uint8)
-    for d in range(1, D + 1):
-        diag = codes[d - 1, b]  # [L1+1]
-        i_lo = max(0, d - L2)
-        i_hi = min(d, L1)
-        i = np.arange(i_lo, i_hi + 1)
-        c = diag[i]
-        TH[i, d - i] = c & 3
-        TE[i, d - i] = (c >> 2) & 1
-        TF[i, d - i] = (c >> 3) & 1
+    dd, ii = np.meshgrid(np.arange(1, D + 1), np.arange(L1 + 1), indexing="ij")
+    jj = dd - ii
+    m = (jj >= 0) & (jj <= L2)
+    c = codes[dd[m] - 1, b, ii[m]]
+    TH[ii[m], jj[m]] = c & 3
+    TE[ii[m], jj[m]] = (c >> 2) & 1
+    TF[ii[m], jj[m]] = (c >> 3) & 1
     return TH, TE, TF
 
 
@@ -227,17 +227,39 @@ def _traceback_local(TH, H_unused, l1, l2, bi, bj):
     return path
 
 
+def _pallas_eligible(L1: int, L2: int, mode: str) -> bool:
+    """Use the Pallas VMEM kernel on TPU for global-mode batches whose
+    sheared score + code planes fit in VMEM (see ops.pallas_dp)."""
+    if mode != "global":
+        return False
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    I = ((L1 + 1 + 127) // 128) * 128
+    return (L1 + L2) * I * 8 <= 12 * 1024 * 1024
+
+
 def affine_align_batch(
     score_mats: list[np.ndarray],
     gap_open: float,
     gap_extend: float,
     mode: str = "global",
+    backend: str = "auto",
 ) -> list[tuple[float, list]]:
     """Align a batch of similarity matrices; returns [(score, path)].
 
     Pads to the max (L1, L2) in the batch; run cost is one wavefront scan
+    (or one Pallas VMEM kernel on TPU, backend='auto'|'pallas'|'lax')
     for the whole batch.
     """
+    if backend != "lax":
+        L1 = max(m.shape[0] for m in score_mats)
+        L2 = max(m.shape[1] for m in score_mats)
+        if backend == "pallas" or _pallas_eligible(L1, L2, mode):
+            from ginfinity_tpu.ops.pallas_dp import nw_align_batch_pallas
+
+            return nw_align_batch_pallas(score_mats, gap_open, gap_extend)
     B = len(score_mats)
     L1 = max(m.shape[0] for m in score_mats)
     L2 = max(m.shape[1] for m in score_mats)
