@@ -566,6 +566,7 @@ class GINModel:
         # chunk; per-batch dispatch over a remote-TPU link is RPC-bound).
         from ginfinity_tpu.graphs.batching import decode_wire
 
+        self._sharded_cache: dict = {}
         self._jit_forward_stacked = jax.jit(
             lambda p, s, bs: jax.lax.map(
                 lambda b: forward_once(config, p, s, decode_wire(b))[0], bs
@@ -594,3 +595,30 @@ class GINModel:
 
     def nodes_stacked(self, stacked) -> jnp.ndarray:
         return self._jit_nodes_stacked(self.params, self.state, stacked)
+
+    def forward_stacked_sharded(self, stacked, mesh) -> jnp.ndarray:
+        """Data-parallel variant: the stacked leading axis shards over the
+        mesh's 'data' axis (params replicated); each chip runs its slice
+        of batches.  The leading axis must be divisible by the mesh size
+        (pad with a repeated batch and drop the tail)."""
+        key = ("fwd", mesh)
+        fn = self._sharded_cache.get(key)
+        if fn is None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ginfinity_tpu.graphs.batching import decode_wire
+
+            cfg = self.config
+            fn = jax.jit(
+                lambda p, s, bs: jax.lax.map(
+                    lambda b: forward_once(cfg, p, s, decode_wire(b))[0], bs
+                ),
+                in_shardings=(
+                    NamedSharding(mesh, P()),
+                    NamedSharding(mesh, P()),
+                    NamedSharding(mesh, P("data")),
+                ),
+                out_shardings=NamedSharding(mesh, P("data")),
+            )
+            self._sharded_cache[key] = fn
+        return fn(self.params, self.state, stacked)

@@ -91,13 +91,19 @@ def adapt_feature_dim(graphs: Sequence[GraphArrays], feature_dim: int) -> list[G
 
 
 class InferenceEngine:
-    """Bucketed batched inference over a trained GIN model."""
+    """Bucketed batched inference over a trained GIN model.
+
+    Pass a ``mesh`` (e.g. ``make_data_mesh()``) to shard the stacked
+    batch groups over the mesh's 'data' axis — corpus embedding then
+    scales linearly with chip count (params replicated, no collectives
+    on the forward path)."""
 
     def __init__(self, model: GINModel, max_nodes_per_batch: int = 8192,
-                 max_graphs_per_batch: int = 256):
+                 max_graphs_per_batch: int = 256, mesh=None):
         self.model = model
         self.max_nodes_per_batch = max_nodes_per_batch
         self.max_graphs_per_batch = max_graphs_per_batch
+        self.mesh = mesh
 
     @classmethod
     def from_checkpoint(cls, path: str, **kw) -> "InferenceEngine":
@@ -174,7 +180,18 @@ class InferenceEngine:
         out = np.zeros((len(graphs), self.config.output_dim), np.float32)
         pending = []
         for is_wire, items, stacked in self._stacked_groups(graphs):
-            if is_wire:
+            if is_wire and self.mesh is not None:
+                d = self.mesh.devices.size
+                n = len(items)
+                pad = (-n) % d
+                if pad:  # repeat the last batch to a device multiple
+                    stacked = jax.tree.map(
+                        lambda x: np.concatenate([x, np.repeat(x[-1:], pad, axis=0)]),
+                        stacked,
+                    )
+                dev = self.model.forward_stacked_sharded(stacked, self.mesh)
+                pending.append((items, dev))  # padded tail rows are ignored
+            elif is_wire:
                 pending.append((items, self.model.forward_stacked(stacked)))
             else:  # fallback path: per-batch dispatch of plain GraphBatches
                 for idxs, _, batch in items:
