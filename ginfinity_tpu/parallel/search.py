@@ -97,6 +97,9 @@ class TopKSearcher:
                 corpus,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # full f32 MXU passes: bf16 default loses rank order for
+                # near-equidistant neighbours (recall@10 dropped to 0.996)
+                precision=jax.lax.Precision.HIGHEST,
             )  # [Q, rows_local]
             if metric == "sqeuclidean":
                 # maximize 2 q.c - ||c||^2  ==  minimize ||q - c||^2

@@ -155,11 +155,23 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--graph-encoding", choices=["standard", "forgi"], default=None)
     parser.add_argument("--seq-weight", type=float, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--profile-dir", default=None,
+                        help="Write a jax.profiler trace of the run to this directory "
+                             "(view with TensorBoard / xprof).")
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.profile_dir:
+        import jax
+
+        with jax.profiler.trace(args.profile_dir):
+            return _main_inner(args)
+    return _main_inner(args)
+
+
+def _main_inner(args):
 
     if args.model_path is None:
         default_weights = os.path.join(
