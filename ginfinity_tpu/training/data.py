@@ -105,19 +105,29 @@ class PairDataset:
         return len(self.items)
 
 
-def _pack_group(graphs: list[GraphArrays], graph_cap: int) -> GraphBatch:
+def _pack_group(graphs: list[GraphArrays], graph_cap: int,
+                caps: tuple[int, int] | None = None) -> GraphBatch:
     total_nodes = sum(g.n_nodes for g in graphs)
     total_edges = sum(g.n_edges for g in graphs)
-    return batch_graphs(
-        graphs,
-        _round_capacity(total_nodes),
-        _round_capacity(total_edges),
-        graph_cap,
-    )
+    n_cap = caps[0] if caps else _round_capacity(total_nodes)
+    e_cap = caps[1] if caps else _round_capacity(total_edges)
+    return batch_graphs(graphs, n_cap, e_cap, graph_cap)
+
+
+def dataset_caps(items_nodes_edges: list[tuple[int, int]], batch_size: int) -> tuple[int, int]:
+    """Uniform (node, edge) capacities covering any batch_size-sized batch
+    of the dataset — required for stacking batches in data-parallel
+    training (every device batch must share one shape)."""
+    nodes = sorted((n for n, _ in items_nodes_edges), reverse=True)
+    edges = sorted((e for _, e in items_nodes_edges), reverse=True)
+    worst_n = sum(nodes[:batch_size])
+    worst_e = sum(edges[:batch_size])
+    return _round_capacity(max(1, worst_n)), _round_capacity(max(1, worst_e))
 
 
 def iter_triplet_batches(
-    dataset: TripletDataset, batch_size: int, rng: np.random.Generator | None = None
+    dataset: TripletDataset, batch_size: int, rng: np.random.Generator | None = None,
+    caps: tuple[int, int] | None = None,
 ) -> Iterator[TripletBatch]:
     order = np.arange(len(dataset))
     if rng is not None:
@@ -131,15 +141,16 @@ def iter_triplet_batches(
         mask = np.zeros(g_cap, np.float32)
         mask[: len(idxs)] = 1.0
         yield TripletBatch(
-            anchor=_pack_group(anchors, g_cap),
-            positive=_pack_group(pos, g_cap),
-            negative=_pack_group(neg, g_cap),
+            anchor=_pack_group(anchors, g_cap, caps),
+            positive=_pack_group(pos, g_cap, caps),
+            negative=_pack_group(neg, g_cap, caps),
             mask=jnp.asarray(mask),
         )
 
 
 def iter_pair_batches(
-    dataset: PairDataset, batch_size: int, rng: np.random.Generator | None = None
+    dataset: PairDataset, batch_size: int, rng: np.random.Generator | None = None,
+    caps: tuple[int, int] | None = None,
 ) -> Iterator[PairBatch]:
     order = np.arange(len(dataset))
     if rng is not None:
@@ -154,8 +165,8 @@ def iter_pair_batches(
         mask = np.zeros(g_cap, np.float32)
         mask[: len(idxs)] = 1.0
         yield PairBatch(
-            anchor=_pack_group(anchors, g_cap),
-            positive=_pack_group(pos, g_cap),
+            anchor=_pack_group(anchors, g_cap, caps),
+            positive=_pack_group(pos, g_cap, caps),
             target=jnp.asarray(target),
             mask=jnp.asarray(mask),
         )
@@ -270,6 +281,8 @@ def assemble_alignment_batch(
     max_unaligned_per_graph: int,
     rng: np.random.Generator | None,
     subset_capacity: int | None = None,
+    caps: tuple[int, int] | None = None,
+    graph_capacity: int | None = None,
 ) -> AlignmentBatch | None:
     """Pack alignment groups into one AlignmentBatch
     (train_model.py:353-499 label scheme, host-side and fixed-shape)."""
@@ -282,8 +295,8 @@ def assemble_alignment_batch(
         return None
 
     graphs = [s.graph for s in structures]
-    g_cap = _round_capacity(len(graphs))
-    gb = _pack_group(graphs, g_cap)
+    g_cap = graph_capacity or _round_capacity(len(graphs))
+    gb = _pack_group(graphs, g_cap, caps)
 
     # node offsets in the packed batch (same packing order as batch_graphs)
     offsets = np.cumsum([0] + [g.n_nodes for g in graphs[:-1]])
@@ -356,6 +369,8 @@ def iter_alignment_batches(
     max_unaligned_per_graph: int,
     rng: np.random.Generator | None = None,
     subset_capacity: int | None = None,
+    caps: tuple[int, int] | None = None,
+    graph_capacity: int | None = None,
 ) -> Iterator[AlignmentBatch]:
     order = np.arange(len(dataset))
     if rng is not None:
@@ -367,6 +382,36 @@ def iter_alignment_batches(
             max_unaligned_per_graph,
             rng,
             subset_capacity,
+            caps,
+            graph_capacity,
         )
         if batch is not None:
             yield batch
+
+
+def alignment_dataset_caps(dataset: AlignmentDataset, batch_size: int,
+                           max_unaligned_per_graph: int):
+    """Uniform (node_cap, edge_cap, graph_cap, subset_cap) covering any
+    batch of alignment groups — for data-parallel stacking."""
+    per_group = []
+    for _, sts in dataset.groups:
+        nodes = sum(s.graph.n_nodes for s in sts)
+        edges = sum(s.graph.n_edges for s in sts)
+        subset = sum(
+            len(s.mapping) + min(max_unaligned_per_graph, len(s.unaligned)) for s in sts
+        )
+        per_group.append((nodes, edges, len(sts), subset))
+    per_group.sort(key=lambda t: -t[0])
+    worst_n = sum(t[0] for t in per_group[:batch_size])
+    per_group.sort(key=lambda t: -t[1])
+    worst_e = sum(t[1] for t in per_group[:batch_size])
+    per_group.sort(key=lambda t: -t[2])
+    worst_g = sum(t[2] for t in per_group[:batch_size])
+    per_group.sort(key=lambda t: -t[3])
+    worst_m = sum(t[3] for t in per_group[:batch_size])
+    return (
+        _round_capacity(max(1, worst_n)),
+        _round_capacity(max(1, worst_e)),
+        _round_capacity(max(1, worst_g)),
+        _round_capacity(max(1, worst_m)),
+    )

@@ -219,19 +219,43 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
     mode = args.training_mode
     rng_np = np.random.default_rng(args.seed)
 
+    # Data-parallel training: shard batches over the mesh's 'data' axis.
+    # Uniform batch capacities are required so per-device batches stack.
+    use_dp = bool(getattr(args, "data_parallel", False)) and jax.device_count() > 1
+    mesh = None
+    if use_dp:
+        from ginfinity_tpu.parallel.mesh import make_data_mesh
+
+        mesh = make_data_mesh()
+        print(f"[train] data parallel over {mesh.devices.size} devices")
+
     if mode == "triplet":
         train_ds = D.TripletDataset(train_df, args.graph_encoding, args.seq_weight)
         val_ds = D.TripletDataset(val_df, args.graph_encoding, args.seq_weight)
         loss_fn = triplet_loss_fn(margin=1.0)
-        make_iter = lambda ds, shuffle: D.iter_triplet_batches(
-            ds, args.batch_size, rng_np if shuffle else None
+        caps = None
+        if use_dp:
+            ne = [
+                (sum(g.n_nodes for g in t), sum(g.n_edges for g in t))
+                for t in train_ds.items + val_ds.items
+            ]
+            caps = D.dataset_caps(ne, args.batch_size)
+        make_iter = lambda ds, shuffle, c=caps: D.iter_triplet_batches(
+            ds, args.batch_size, rng_np if shuffle else None, caps=c
         )
     elif mode == "regression":
         train_ds = D.PairDataset(train_df, args.graph_encoding, args.seq_weight)
         val_ds = D.PairDataset(val_df, args.graph_encoding, args.seq_weight)
         loss_fn = regression_loss_fn()
-        make_iter = lambda ds, shuffle: D.iter_pair_batches(
-            ds, args.batch_size, rng_np if shuffle else None
+        caps = None
+        if use_dp:
+            ne = [
+                (sum(g.n_nodes for g in t), sum(g.n_edges for g in t))
+                for t in train_ds.items + val_ds.items
+            ]
+            caps = D.dataset_caps(ne, args.batch_size)
+        make_iter = lambda ds, shuffle, c=caps: D.iter_pair_batches(
+            ds, args.batch_size, rng_np if shuffle else None, caps=c
         )
     else:
         train_ds = D.AlignmentDataset(
@@ -246,13 +270,27 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
             )
         )
         max_unaligned = max(0, int(args.alignment_unaligned_per_graph))
-        make_iter = lambda ds, shuffle: D.iter_alignment_batches(
-            ds, args.batch_size, max_unaligned, rng_np if shuffle else None
+        caps = subset_cap = graph_cap = None
+        if use_dp:
+            nc, ec, graph_cap, subset_cap = D.alignment_dataset_caps(
+                D.AlignmentDataset(  # caps over both splits
+                    __import__("pandas").concat([train_df, val_df]),
+                    alignment_map, args.graph_encoding, args.seq_weight,
+                    args.structure_column,
+                ),
+                args.batch_size, max_unaligned,
+            )
+            caps = (nc, ec)
+        make_iter = lambda ds, shuffle, c=caps, sc=subset_cap, gc=graph_cap: (
+            D.iter_alignment_batches(
+                ds, args.batch_size, max_unaligned, rng_np if shuffle else None,
+                subset_capacity=sc, caps=c, graph_capacity=gc,
+            )
         )
 
     optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     ts = TrainState.create(params, state, optimizer)
-    train_step = make_train_step(cfg, optimizer, loss_fn)
+    train_step = make_train_step(cfg, optimizer, loss_fn, mesh=mesh)
     eval_step = make_eval_step(cfg, loss_fn)
     key = jax.random.PRNGKey(args.seed)
 
@@ -286,15 +324,34 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
 
     current_lr = lr
     last_epoch = -1
+    dropped_note = False
     for epoch in range(num_epochs):
         last_epoch = epoch
         running = 0.0
         nb = 0
-        for b in make_iter(train_ds, shuffle=True):
-            key, sub = jax.random.split(key)
-            ts, loss = train_step(ts, b, sub)
-            running += float(loss)
-            nb += 1
+        if mesh is None:
+            for b in make_iter(train_ds, shuffle=True):
+                key, sub = jax.random.split(key)
+                ts, loss = train_step(ts, b, sub)
+                running += float(loss)
+                nb += 1
+        else:
+            import jax.numpy as jnp
+
+            group = []
+            for b in make_iter(train_ds, shuffle=True):
+                group.append(b)
+                if len(group) == mesh.devices.size:
+                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                    key, sub = jax.random.split(key)
+                    ts, loss = train_step(ts, stacked, sub)
+                    running += float(loss)
+                    nb += 1
+                    group = []
+            if group and not dropped_note:
+                print(f"[train] dropping {len(group)} remainder batch(es) per epoch "
+                      f"(device count {mesh.devices.size})")
+                dropped_note = True
         avg_train = running / max(nb, 1)
 
         # per-epoch multiplicative LR decay (train_model.py:1179-1180)
@@ -423,6 +480,10 @@ def build_parser():
     parser.add_argument("--gin_eps", type=float, default=0.0)
     parser.add_argument("--train_eps", action="store_true")
     parser.add_argument("--schedule", type=str, default=None)
+    parser.add_argument("--data-parallel", dest="data_parallel",
+                        action="store_true", default=False,
+                        help="Shard training batches over all devices "
+                             "(data-parallel; gradients pmean over ICI).")
     return parser
 
 
