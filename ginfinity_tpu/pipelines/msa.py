@@ -230,36 +230,59 @@ def consistency_round(post: dict, N: int, lam: float = 0.5, topk: int = 20,
     """One T-Coffee consistency round over sparse-as-dense posteriors.
 
     ``post[(a, b)]`` is the dense (already sparsified: zeros elsewhere)
-    posterior matrix.  P'_AB = (1-lam) P_AB + lam * mean_C (P_AC @ P_CB);
-    the matmuls run on the accelerator via jnp.
+    posterior matrix.  P'_AB = (1-lam) P_AB + lam * mean_C (P_AC @ P_CB).
+    The sum over intermediates C runs as ONE batched einsum per pair on
+    the MXU: per-sequence matrices are zero-padded to Lmax, and padding
+    contributes exact zeros to the products.
     """
+    import jax
     import jax.numpy as jnp
 
-    def get(a, b):
-        if (a, b) in post:
-            return post[(a, b)], False
-        if (b, a) in post:
-            return post[(b, a)], True
-        return None, False
+    lengths = {}
+    for (a, b), P in post.items():
+        lengths[a] = P.shape[0]
+        lengths[b] = P.shape[1]
+    if not lengths:
+        return dict(post)
+    Lmax = max(lengths.values())
+
+    def get_padded(a, c):
+        """P(a, c) zero-padded to [Lmax, Lmax] (or None)."""
+        if (a, c) in post:
+            P = post[(a, c)]
+        elif (c, a) in post:
+            P = post[(c, a)].T
+        else:
+            return None
+        out = np.zeros((Lmax, Lmax), np.float32)
+        out[: P.shape[0], : P.shape[1]] = P
+        return out
+
+    fused = jax.jit(lambda ac, cb: jnp.einsum(
+        "cik,ckj->ij", ac, cb, preferred_element_type=jnp.float32
+    ))
 
     out = {}
     for (a, b), Pab in post.items():
         La, Lb = Pab.shape
-        acc = jnp.zeros((La, Lb), jnp.float32)
-        count = 0
+        acs, cbs = [], []
         for c in range(N):
             if c in (a, b):
                 continue
-            AC, tac = get(a, c)
-            CB, tcb = get(c, b)
+            AC = get_padded(a, c)
+            CB = get_padded(c, b)
             if AC is None or CB is None:
                 continue
-            Pac = jnp.asarray(AC.T if tac else AC)  # [La, Lc]
-            Pcb = jnp.asarray(CB.T if tcb else CB)  # [Lc, Lb]
-            acc = acc + Pac @ Pcb
-            count += 1
-        newP = (1.0 - lam) * jnp.asarray(Pab) + lam * (acc / max(1, count))
-        newP = np.asarray(newP)
+            acs.append(AC)
+            cbs.append(CB)
+        if acs:
+            acc = np.asarray(fused(jnp.asarray(np.stack(acs)), jnp.asarray(np.stack(cbs))))
+            acc = acc[:La, :Lb]
+            count = len(acs)
+        else:
+            acc = np.zeros((La, Lb), np.float32)
+            count = 0
+        newP = (1.0 - lam) * Pab + lam * (acc / max(1, count))
         keep = sparsify_topk_mask(newP, topk, pmin)
         out[(a, b)] = np.where(keep, newP, 0.0).astype(np.float32)
     return out
