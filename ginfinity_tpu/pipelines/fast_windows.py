@@ -12,10 +12,15 @@ same program.  Window semantics are identical to
 neighbors pull-in, backbone cuts, adjacent-pair quirk); pooled
 embeddings match the file-based path to float32 tolerance.
 
-Layout per window (capacity 2L nodes): slots [0, L) hold the in-window
-positions, slots [L, 2L) hold each position's pulled outside partner
-(masked when absent).  Graph-level pooling is invariant to this node
-ordering.
+Layout per window (capacity L + P nodes): slots [0, L) hold the
+in-window positions; pulled outside partners are compacted into slots
+[L, L + P) by an on-device cumsum scatter, where P is the maximum pulled
+count over the group's windows (computed exactly on the host via
+interval sums, then rounded to a small power-of-two ladder).  In-window
+base-pair edges are compacted the same way into B slots.  Graph-level
+pooling is invariant to node ordering, so this matches the file-based
+path bit-for-bit in f32 while cutting node padding ~1.8x and edge
+padding ~2x versus the naive 2L layout.
 """
 
 from __future__ import annotations
@@ -32,8 +37,35 @@ from ginfinity_tpu.graphs.dotbracket import pair_table
 from ginfinity_tpu.models.gine import GINConfig, forward_once
 
 
-def _window_batch(feat, pt, start, L: int, keep_paired_neighbors: bool):
-    """Build one window's GraphBatch (single graph) inside jit."""
+def _compact(flags, values_list, cap: int):
+    """Scatter ``values_list`` rows where ``flags`` is true into ``cap``
+    slots (in position order) via cumsum targets.  Returns the compacted
+    value arrays plus the slot-occupancy mask.  Entries beyond ``cap``
+    are dropped (callers size ``cap`` from exact host counts, so this is
+    purely defensive)."""
+    tgt = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    # masked entries (and overflow) all land on the drop slot ``cap``,
+    # which is sliced away — no zeroing of values needed
+    slot = jnp.where(flags & (tgt < cap), tgt, cap)
+    outs = []
+    for v in values_list:
+        buf = jnp.zeros((cap + 1,) + v.shape[1:], v.dtype)
+        outs.append(buf.at[slot].add(v)[:cap])
+    occ = jnp.zeros(cap + 1, jnp.float32).at[slot].add(flags.astype(jnp.float32))[:cap]
+    return outs, occ
+
+
+def _window_batch(feat, pt, start, L: int, keep_paired_neighbors: bool,
+                  p_cap: int = None, b_cap: int = None):
+    """Build one window's GraphBatch (single graph) inside jit.
+
+    ``p_cap``/``b_cap`` bound the pulled-partner and in-window base-pair
+    slot counts (compact layout); ``None`` falls back to the loose upper
+    bounds (L and L) for callers that cannot precompute them."""
+    if p_cap is None:
+        p_cap = L if keep_paired_neighbors else 0
+    if b_cap is None:
+        b_cap = L
     idx = start + jnp.arange(L, dtype=jnp.int32)  # original positions
     partner = pt[idx]
     has_pair = partner >= 0
@@ -41,33 +73,33 @@ def _window_batch(feat, pt, start, L: int, keep_paired_neighbors: bool):
     bp_real = has_pair & ~adj_pair
     in_win = (partner >= start) & (partner < start + L)
     pulled = bp_real & ~in_win if keep_paired_neighbors else jnp.zeros_like(bp_real)
+    local = jnp.arange(L, dtype=jnp.int32)
 
-    # nodes: [2L, F]
-    node_feat = jnp.concatenate(
-        [feat[idx], feat[jnp.clip(partner, 0)] * pulled[:, None].astype(feat.dtype)]
-    )
-    node_mask = jnp.concatenate(
-        [jnp.ones(L, jnp.float32), pulled.astype(jnp.float32)]
-    )
+    # nodes: [L + p_cap, F]; pulled partners compacted into the tail slots
+    partner_feat = feat[jnp.clip(partner, 0)]
+    if p_cap > 0:
+        (pulled_feat, pl_src, pl_fwd), pl_occ = _compact(
+            pulled,
+            [partner_feat, local, (idx < partner).astype(jnp.float32)],
+            p_cap,
+        )
+        node_feat = jnp.concatenate([feat[idx], pulled_feat])
+        node_mask = jnp.concatenate([jnp.ones(L, jnp.float32), pl_occ])
+    else:
+        node_feat = feat[idx]
+        node_mask = jnp.ones(L, jnp.float32)
 
-    # backbone edges (both directions): (i, i-1) for i in 1..L-1
+    # backbone edges (both directions): (i, i-1) for i in 1..L-1 — dense
     bb_src = jnp.arange(1, L, dtype=jnp.int32)
     bb_dst = bb_src - 1
     bb_mask = jnp.ones(L - 1, jnp.float32)
 
-    # in-window base pairs (i < j side only, both directions emitted below)
+    # in-window base pairs (i < j side), compacted into b_cap slots
     j_local = partner - start
     bp_in = bp_real & in_win & (partner > idx)
-    bp_src = jnp.arange(L, dtype=jnp.int32)
-    bp_dst = jnp.clip(j_local, 0, L - 1)
-    bp_mask = bp_in.astype(jnp.float32)
-
-    # pulled-partner pairs: local i <-> slot L+i
-    pl_src = jnp.arange(L, dtype=jnp.int32)
-    pl_dst = L + jnp.arange(L, dtype=jnp.int32)
-    pl_mask = pulled.astype(jnp.float32)
-    # original-order forward flag for pulled edges
-    pl_fwd = (idx < partner).astype(jnp.float32)
+    (bp_src, bp_dst), bp_occ = _compact(
+        bp_in, [local, jnp.clip(j_local, 0, L - 1)], b_cap
+    )
 
     def both_dirs(src, dst, mask, fwd, attr2):
         # attr2 = [adjacent, base_pair]
@@ -82,10 +114,12 @@ def _window_batch(feat, pt, start, L: int, keep_paired_neighbors: bool):
     # forward flags: backbone src(i) > dst(i-1) in original order -> fwd=0
     segs = [
         both_dirs(bb_src, bb_dst, bb_mask, jnp.zeros(L - 1), (1.0, 0.0)),
-        both_dirs(bp_src, bp_dst, bp_mask, jnp.ones(L), (0.0, 1.0)),
+        both_dirs(bp_src, bp_dst, bp_occ, jnp.ones(b_cap), (0.0, 1.0)),
     ]
-    if keep_paired_neighbors:
-        segs.append(both_dirs(pl_src, pl_dst, pl_mask, pl_fwd, (0.0, 1.0)))
+    if p_cap > 0:
+        # pulled-partner pairs: compacted local i <-> tail slot L+k
+        pl_dst = L + jnp.arange(p_cap, dtype=jnp.int32)
+        segs.append(both_dirs(pl_src, pl_dst, pl_occ, pl_fwd, (0.0, 1.0)))
 
     edge_src = jnp.concatenate([s for s, _, _, _ in segs])
     edge_dst = jnp.concatenate([d for _, d, _, _ in segs])
@@ -107,11 +141,56 @@ def _window_batch(feat, pt, start, L: int, keep_paired_neighbors: bool):
     )
 
 
-@partial(jax.jit, static_argnames=("config", "L", "keep_paired_neighbors"))
+def _cap_ladder(x: int) -> int:
+    """Round a slot count up to {0, 8, 16, 32, 64, ...} to bound program
+    variants."""
+    if x <= 0:
+        return 0
+    return max(8, 1 << (int(x) - 1).bit_length())
+
+
+def _window_slot_caps(pt: np.ndarray, L: int, starts: np.ndarray,
+                      keep_paired_neighbors: bool) -> tuple[int, int]:
+    """Exact maxima over ``starts`` of (in-window base pairs, pulled
+    partners) per window — one O(n) interval-sum sweep on the host, no
+    per-window loop."""
+    n = pt.shape[0]
+    ns = n - L + 1
+    i = np.arange(n)
+    j = pt
+    up = (j >= 0) & (np.abs(j - i) != 1) & (j > i)
+    ii, jj = i[up], j[up]
+
+    def interval_counts(lo, hi):
+        diff = np.zeros(ns + 1, np.int64)
+        lo = np.maximum(lo, 0)
+        hi = np.minimum(hi, ns - 1)
+        ok = lo <= hi
+        np.add.at(diff, lo[ok], 1)
+        np.add.at(diff, hi[ok] + 1, -1)
+        return np.cumsum(diff[:ns])
+
+    # pair (i, j) fully in window [s, s+L): s in [j-L+1, i]
+    bp_counts = interval_counts(jj - L + 1, ii)
+    if keep_paired_neighbors and ii.size:
+        # i in window, j outside (above): s in [i-L+1, min(i, j-L)]
+        pl = interval_counts(ii - L + 1, np.minimum(ii, jj - L))
+        # j in window, i outside (below): s in [max(i+1, j-L+1), j]
+        pl = pl + interval_counts(np.maximum(ii + 1, jj - L + 1), jj)
+    else:
+        pl = np.zeros(ns, np.int64)
+    if starts.size == 0:
+        return 0, 0
+    return int(bp_counts[starts].max()), int(pl[starts].max())
+
+
+@partial(jax.jit, static_argnames=("config", "L", "keep_paired_neighbors",
+                                   "p_cap", "b_cap"))
 def _embed_windows_jit(config: GINConfig, params, state, feat, pt, starts,
-                       L: int, keep_paired_neighbors: bool):
+                       L: int, keep_paired_neighbors: bool,
+                       p_cap: int = None, b_cap: int = None):
     def one(start):
-        b = _window_batch(feat, pt, start, L, keep_paired_neighbors)
+        b = _window_batch(feat, pt, start, L, keep_paired_neighbors, p_cap, b_cap)
         return forward_once(config, params, state, b)[0][0]
 
     return jax.lax.map(one, starts, batch_size=64)
@@ -159,34 +238,118 @@ def embed_structure_windows(
     pt_p = np.full(n_cap, -1, np.int32)
     pt_p[:n] = pt
 
+    b_max, p_max = _window_slot_caps(pt, L, starts, keep_paired_neighbors)
     emb = _embed_windows_jit(
         cfg, model.params, model.state,
         jnp.asarray(feat_p), jnp.asarray(pt_p), jnp.asarray(starts_padded),
         L, keep_paired_neighbors,
+        _cap_ladder(p_max), _cap_ladder(b_max),
     )
     if block:
         emb = np.asarray(emb)[: starts.size]
     return starts.astype(np.int64), emb
 
 
+@partial(jax.jit, static_argnames=("config", "L", "keep_paired_neighbors",
+                                   "p_cap", "b_cap"))
+def _embed_windows_stacked_jit(config: GINConfig, params, state, feats, pts,
+                               sidx, starts, L: int, keep_paired_neighbors: bool,
+                               p_cap: int = None, b_cap: int = None):
+    """All windows of a stacked structure group in ONE program.
+
+    feats [S, n_cap, F] / pts [S, n_cap]: padded per-structure arrays.
+    sidx/starts [W_cap]: flat window descriptors (structure slot, start).
+    """
+    def one(args):
+        si, st = args
+        b = _window_batch(feats[si], pts[si], st, L, keep_paired_neighbors,
+                          p_cap, b_cap)
+        return forward_once(config, params, state, b)[0][0]
+
+    return jax.lax.map(one, (sidx, starts), batch_size=64)
+
+
 def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
                          mask_threshold=0.0):
-    """Window embeddings for a corpus; one device program per window-count
-    bucket, one tiny upload per structure.  Returns a list of
+    """Window embeddings for a corpus.  Returns a list of
     (starts, embeddings) per structure.
 
-    Note: programs are keyed on the padded feature length too; pad
-    structures' feature arrays to a ladder to bound recompilation.
+    Structures are grouped by padded length (the capacity ladder), each
+    group's feature/pair arrays stacked into one [S, n_cap] upload, and
+    every window in the group embedded by a single device program that
+    maps over flat (structure, start) descriptors — dispatch and link
+    latency amortize over the whole group instead of paying per
+    structure (the round-1 bottleneck: ~100 dispatches for the bench
+    corpus; now one per length bucket).
     """
-    # two-phase: enqueue every structure's program (async JAX dispatch),
-    # then fetch — device compute overlaps host preprocessing and the
-    # per-call link latency amortizes across the corpus
-    pending = [
-        embed_structure_windows(
-            model, s, L, keep_paired_neighbors, mask_threshold, block=False
+    from ginfinity_tpu.graphs.batching import _round_capacity
+    from ginfinity_tpu.pipelines.windows import window_starts_mask
+
+    cfg = model.config
+    empty = (np.zeros(0, np.int64), np.zeros((0, cfg.output_dim), np.float32))
+
+    # host preprocessing: pair tables, window masks, features
+    per = [None] * len(structures)
+    for i, s in enumerate(structures):
+        pt = pair_table(s)
+        n = pt.shape[0]
+        if n < L:
+            continue
+        keep = window_starts_mask(s, L, mask_threshold)
+        starts = np.nonzero(keep)[0].astype(np.int32)
+        if starts.size == 0:
+            continue
+        feat = standard_node_features(pt, None, cfg.seq_weight, cfg.node_feature_dim)
+        b_max, p_max = _window_slot_caps(pt, L, starts, keep_paired_neighbors)
+        per[i] = (_round_capacity(n), feat, pt, n, starts, b_max, p_max)
+
+    groups: dict[int, list[int]] = {}
+    for i, item in enumerate(per):
+        if item is not None:
+            groups.setdefault(item[0], []).append(i)
+
+    # dispatch phase: one async program per group
+    pending = []
+    for n_cap, idxs in sorted(groups.items()):
+        s_cap = _round_capacity(len(idxs))
+        feats = np.zeros((s_cap, n_cap, cfg.node_feature_dim), np.float32)
+        pts_p = np.full((s_cap, n_cap), -1, np.int32)
+        sidx_parts, starts_parts = [], []
+        b_cap = p_cap = 0
+        for local, i in enumerate(idxs):
+            _, feat, pt, n, starts, b_max, p_max = per[i]
+            feats[local, :n] = feat
+            pts_p[local, :n] = pt
+            sidx_parts.append(np.full(starts.size, local, np.int32))
+            starts_parts.append(starts)
+            b_cap = max(b_cap, b_max)
+            p_cap = max(p_cap, p_max)
+        sidx = np.concatenate(sidx_parts)
+        starts_all = np.concatenate(starts_parts)
+        w_cap = _round_capacity(sidx.size)
+        # pad descriptors with (slot 0, start 0): slot 0 is a real
+        # structure with n >= L, so the padded windows are valid compute
+        # whose results are simply discarded
+        sidx_p = np.zeros(w_cap, np.int32)
+        sidx_p[: sidx.size] = sidx
+        starts_p = np.zeros(w_cap, np.int32)
+        starts_p[: starts_all.size] = starts_all
+        emb = _embed_windows_stacked_jit(
+            cfg, model.params, model.state,
+            jnp.asarray(feats), jnp.asarray(pts_p),
+            jnp.asarray(sidx_p), jnp.asarray(starts_p),
+            L, keep_paired_neighbors,
+            _cap_ladder(p_cap), _cap_ladder(b_cap),
         )
-        for s in structures
-    ]
-    return [
-        (starts, np.asarray(emb)[: starts.size]) for starts, emb in pending
-    ]
+        pending.append((idxs, emb))
+
+    # fetch phase: device compute for later groups overlaps these copies
+    results = [empty] * len(structures)
+    for idxs, emb in pending:
+        emb_np = np.asarray(emb)
+        off = 0
+        for i in idxs:
+            starts = per[i][4]
+            results[i] = (starts.astype(np.int64), emb_np[off : off + starts.size])
+            off += starts.size
+    return results

@@ -50,3 +50,28 @@ class TestFastWindows:
         starts, emb = res[0]
         assert starts.size == 63 and emb.shape == (63, 128)
         assert np.isfinite(emb).all()
+
+    def test_corpus_matches_per_structure(self, model):
+        """The stacked group dispatch must equal the per-structure path
+        on a mixed-length corpus (different buckets, a too-short one,
+        and a masked-out one interleaved)."""
+        from ginfinity_tpu.pipelines.fast_windows import (
+            embed_corpus_windows,
+            embed_structure_windows,
+        )
+
+        df = pd.read_csv(SAMPLE)
+        corpus = [
+            str(df["secondary_structure"].iloc[0]),
+            "((..))",                                  # too short -> empty
+            str(df["secondary_structure"].iloc[1]),
+            "." * 200,                                 # masked out everywhere
+            str(df["secondary_structure"].iloc[2]) * 2,  # different bucket
+        ]
+        res = embed_corpus_windows(model, corpus, 100, True, 0.1)
+        assert len(res) == len(corpus)
+        for s, (starts, emb) in zip(corpus, res):
+            st_ref, emb_ref = embed_structure_windows(model, s, 100, True, 0.1)
+            np.testing.assert_array_equal(starts, st_ref)
+            np.testing.assert_allclose(emb, emb_ref, atol=1e-5, rtol=1e-5)
+        assert res[1][0].size == 0 and res[3][0].size == 0
