@@ -276,6 +276,60 @@ class AlignmentDataset:
         return len(self.groups)
 
 
+def subsample_negatives(
+    labels: np.ndarray,
+    graph_ids: np.ndarray,
+    categories: np.ndarray,
+    max_negatives: int | None,
+    hard_negative_fraction: float,
+    rng,
+) -> np.ndarray:
+    """Reference InfoNCE subset selection (alignment_loss.py:204-243),
+    host-side: keep every node participating in a positive pair; of the
+    rest keep at most ``max_negatives``, targeting an
+    ``hard_negative_fraction`` share of hard negatives (conserved
+    category, i.e. category < 3).  ``max_negatives`` of ``None``/``0``
+    keeps participating nodes only (the reference's documented
+    semantics).  Note the quota can drop candidates even under the cap:
+    ``n_easy = sample_size - n_hard`` is clipped to the easy pool
+    without backfilling from the hard pool — faithfully reproduced.
+
+    Returns the sorted indices of the kept nodes.
+    """
+    n = labels.shape[0]
+    conserved = categories < 3
+    # a node participates iff its label occurs on a conserved node of
+    # another graph; labels are unique per (alignment, position) and at
+    # most one node per graph carries a given label, so "count >= 2
+    # among conserved nodes" is exact
+    cons_labels = labels[conserved]
+    uniq, counts = np.unique(cons_labels, return_counts=True)
+    multi = uniq[counts >= 2]
+    participating = conserved & np.isin(labels, multi)
+    part_idx = np.nonzero(participating)[0]
+
+    if max_negatives is None or max_negatives <= 0:
+        return part_idx
+    if part_idx.size == n:
+        return part_idx
+
+    cand = np.nonzero(~participating)[0]
+    sample_size = min(int(max_negatives), cand.size)
+    if sample_size <= 0:
+        return part_idx
+    hard = cand[categories[cand] < 3]
+    easy = cand[categories[cand] >= 3]
+    n_hard = min(int(round(sample_size * hard_negative_fraction)), hard.size)
+    n_easy = min(sample_size - n_hard, easy.size)
+    parts = [part_idx]
+    r = rng if rng is not None else np.random.default_rng(0)
+    if n_hard > 0:
+        parts.append(np.asarray(r.permutation(hard))[:n_hard])
+    if n_easy > 0:
+        parts.append(np.asarray(r.permutation(easy))[:n_easy])
+    return np.sort(np.concatenate(parts))
+
+
 def assemble_alignment_batch(
     groups: list[tuple[Any, list[AlignedStructure]]],
     max_unaligned_per_graph: int,
@@ -283,9 +337,18 @@ def assemble_alignment_batch(
     subset_capacity: int | None = None,
     caps: tuple[int, int] | None = None,
     graph_capacity: int | None = None,
+    max_negatives: int | None = None,
+    hard_negative_fraction: float = 0.85,
+    debug_log=None,
 ) -> AlignmentBatch | None:
     """Pack alignment groups into one AlignmentBatch
-    (train_model.py:353-499 label scheme, host-side and fixed-shape)."""
+    (train_model.py:353-499 label scheme, host-side and fixed-shape).
+
+    ``max_negatives``/``hard_negative_fraction`` apply the reference
+    loss's secondary negative subsampling (alignment_loss.py:213-243) at
+    assembly time; ``max_negatives=None`` disables it (keep the full
+    assembled set — our fixed-shape default, documented deviation only
+    when the caller does not pass the CLI value through)."""
     structures: list[AlignedStructure] = []
     group_of: list[Any] = []
     for aid, sts in groups:
@@ -332,6 +395,33 @@ def assemble_alignment_batch(
     if not node_idx:
         return None
 
+    if max_negatives is not None:
+        labels_a = np.asarray(labels, np.int64)
+        keep = subsample_negatives(
+            labels_a,
+            np.asarray(graph_ids, np.int32),
+            np.asarray(categories, np.int32),
+            max_negatives,
+            hard_negative_fraction,
+            rng,
+        )
+        if debug_log is not None:
+            debug_log(
+                "negative_subsampling",
+                {
+                    "assembled_nodes": len(node_idx),
+                    "kept_nodes": int(keep.size),
+                    "max_negatives": int(max_negatives),
+                    "hard_negative_fraction": float(hard_negative_fraction),
+                },
+            )
+        if keep.size == 0:
+            return None
+        node_idx = [node_idx[i] for i in keep]
+        labels = [labels[i] for i in keep]
+        graph_ids = [graph_ids[i] for i in keep]
+        categories = [categories[i] for i in keep]
+
     m = len(node_idx)
     m_cap = subset_capacity or _round_capacity(m)
     if m > m_cap:
@@ -371,6 +461,9 @@ def iter_alignment_batches(
     subset_capacity: int | None = None,
     caps: tuple[int, int] | None = None,
     graph_capacity: int | None = None,
+    max_negatives: int | None = None,
+    hard_negative_fraction: float = 0.85,
+    debug_log=None,
 ) -> Iterator[AlignmentBatch]:
     order = np.arange(len(dataset))
     if rng is not None:
@@ -384,6 +477,9 @@ def iter_alignment_batches(
             subset_capacity,
             caps,
             graph_capacity,
+            max_negatives,
+            hard_negative_fraction,
+            debug_log,
         )
         if batch is not None:
             yield batch

@@ -16,13 +16,11 @@ The reference mines pairs and samples negatives dynamically on device
 ``[M]``-shaped label/graph/category/mask arrays -> everything under jit
 is static-shaped mask algebra.
 
-Documented deviation: the reference additionally subsamples extra
-negatives down to ``max_negatives`` (default 5000) with an 85%
-hard-negative quota when a batch's non-participating node count exceeds
-it (alignment_loss.py:213-243).  Our batches bound negatives at the
-assembler instead (``alignment_unaligned_per_graph`` per structure), so
-batches rarely reach that regime; when they do, all assembled negatives
-participate (a superset of the reference's sampled denominator).
+The reference's secondary negative subsampling (``max_negatives`` with
+an 85% hard-negative quota, alignment_loss.py:213-243) is applied at
+batch-assembly time on the host — see
+:func:`ginfinity_tpu.training.data.subsample_negatives` — so the device
+loss below always sees the already-selected subset.
 """
 
 from __future__ import annotations

@@ -270,6 +270,20 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
             )
         )
         max_unaligned = max(0, int(args.alignment_unaligned_per_graph))
+        # reference loss subsampling knobs (alignment_loss.py:213-243),
+        # applied at assembly time; <=0 disables (keep the full set)
+        max_negatives = (
+            int(args.alignment_max_negatives)
+            if args.alignment_max_negatives and args.alignment_max_negatives > 0
+            else None
+        )
+        hard_frac = float(args.hard_negative_fraction)
+        debug_log = (
+            (lambda event, payload: log_information(
+                log_path, {"event": event, **payload}, "AlignmentLoss Debug"))
+            if args.debug
+            else None
+        )
         caps = subset_cap = graph_cap = None
         if use_dp:
             nc, ec, graph_cap, subset_cap = D.alignment_dataset_caps(
@@ -285,6 +299,8 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
             D.iter_alignment_batches(
                 ds, args.batch_size, max_unaligned, rng_np if shuffle else None,
                 subset_capacity=sc, caps=c, graph_capacity=gc,
+                max_negatives=max_negatives, hard_negative_fraction=hard_frac,
+                debug_log=debug_log,
             )
         )
 
@@ -461,7 +477,9 @@ def build_parser():
     parser.add_argument("--val_fraction", type=float, default=0.2)
     parser.add_argument("--f_sample_dataset", type=float, default=1.0)
     parser.add_argument("--initial_eval_fraction", type=float, default=0.05)
-    parser.add_argument("--debug", action="store_true", default=False)
+    parser.add_argument("--debug", action="store_true", default=False,
+                        help="Log per-batch alignment-loss assembly events "
+                             "(negative subsampling stats) to the run log.")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--training_mode", choices=["triplet", "regression", "alignment"], default="triplet")
     parser.add_argument("--seq_weight", type=float, default=0.0)

@@ -63,6 +63,133 @@ class TestAlignmentLossParity:
         )
         assert abs(ours - ref_loss) < 1e-3, (ours, ref_loss)
 
+    def test_matches_reference_loss_subsampling_regime(self, reference_utils):
+        """With max_negatives below the candidate count, the host-side
+        subset selection + fixed-shape loss must equal the reference loss.
+        The random permutation is pinned to identity on both sides so the
+        candidate sets match exactly."""
+        import torch
+
+        from ginfinity.training.alignment_loss import AlignmentContrastiveLoss
+
+        from ginfinity_tpu.training.data import subsample_negatives
+        from ginfinity_tpu.training.losses import (
+            AlignmentLossConfig,
+            alignment_contrastive_loss,
+        )
+
+        rng = np.random.default_rng(7)
+        n, d = 60, 16
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        labels = rng.integers(0, 10, size=n).astype(np.int64)
+        graph_ids = rng.integers(0, 5, size=n).astype(np.int64)
+        categories = rng.integers(0, 6, size=n).astype(np.int64)
+        # force genuinely duplicate labels in the same graph to be distinct
+        # (the real assembler guarantees one label per graph)
+        seen = set()
+        for i in range(n):
+            while (int(labels[i]), int(graph_ids[i])) in seen:
+                labels[i] += 100
+            seen.add((int(labels[i]), int(graph_ids[i])))
+
+        max_neg = 8
+        ref = AlignmentContrastiveLoss(
+            margin=0.2, max_negatives=max_neg, hard_negative_fraction=0.85,
+            temperature=0.1,
+        )
+        orig_randperm = torch.randperm
+        torch.randperm = lambda m, **kw: torch.arange(m)
+        try:
+            ref_loss = float(
+                ref(
+                    torch.from_numpy(emb),
+                    torch.from_numpy(labels),
+                    torch.from_numpy(graph_ids),
+                    torch.from_numpy(categories),
+                )
+            )
+        finally:
+            torch.randperm = orig_randperm
+
+        class IdentityRng:
+            def permutation(self, x):
+                return np.asarray(x)
+
+        keep = subsample_negatives(
+            labels, graph_ids.astype(np.int32), categories.astype(np.int32),
+            max_neg, 0.85, IdentityRng(),
+        )
+        assert keep.size < n  # the regime actually subsamples
+        ours = float(
+            alignment_contrastive_loss(
+                emb[keep],
+                labels[keep],
+                graph_ids[keep].astype(np.int32),
+                categories[keep].astype(np.int32),
+                np.ones(keep.size, np.float32),
+                AlignmentLossConfig(margin=0.2, temperature=0.1),
+            )
+        )
+        assert abs(ours - ref_loss) < 1e-3, (ours, ref_loss)
+
+    def test_subsample_negatives_semantics(self):
+        from ginfinity_tpu.training.data import subsample_negatives
+
+        # two participating (label 5 on graphs 0/1, conserved), six candidates
+        labels = np.array([5, 5, 1, 2, 3, 4, 6, 7], np.int64)
+        graphs = np.array([0, 1, 0, 0, 1, 1, 0, 1], np.int32)
+        cats = np.array([0, 1, 0, 1, 2, 5, 5, 5], np.int32)  # 3 hard, 3 easy
+        rng = np.random.default_rng(0)
+
+        # participating-only when max_negatives is 0/None (reference docs)
+        np.testing.assert_array_equal(
+            subsample_negatives(labels, graphs, cats, 0, 0.85, rng), [0, 1]
+        )
+        np.testing.assert_array_equal(
+            subsample_negatives(labels, graphs, cats, None, 0.85, rng), [0, 1]
+        )
+        # cap respected, participating always kept
+        keep = subsample_negatives(labels, graphs, cats, 4, 0.85, rng)
+        assert set([0, 1]).issubset(set(keep.tolist()))
+        assert keep.size == 2 + 4
+        # easy backfills a hard deficit (n_hard clipped BEFORE n_easy):
+        # frac=1.0 wants 6 hard, only 3 exist -> n_easy = 6-3 = 3 -> all kept
+        keep_backfill = subsample_negatives(labels, graphs, cats, 6, 1.0, rng)
+        assert keep_backfill.size == 8
+        # but hard does NOT backfill an easy deficit: frac=0.0 wants 6 easy,
+        # only 3 exist -> the 3 hard candidates are dropped
+        keep_easy = subsample_negatives(labels, graphs, cats, 6, 0.0, rng)
+        assert keep_easy.size == 2 + 3
+        assert all(cats[i] >= 3 for i in keep_easy if i not in (0, 1))
+
+    def test_assembler_applies_subsampling(self, alignment_data):
+        """--alignment_max_negatives must actually shrink the batch."""
+        import json as _json
+
+        import pandas as pd
+
+        from ginfinity_tpu.training.data import (
+            AlignmentDataset,
+            assemble_alignment_batch,
+        )
+
+        data_p, map_p = alignment_data
+        df = pd.read_csv(data_p, sep="\t")
+        with open(map_p) as f:
+            amap = _json.load(f)
+        ds = AlignmentDataset(df, amap)
+        rng = np.random.default_rng(0)
+        full = assemble_alignment_batch(list(ds.groups), 16, rng)
+        sub = assemble_alignment_batch(
+            list(ds.groups), 16, rng, max_negatives=2, hard_negative_fraction=0.85
+        )
+        assert float(np.sum(np.asarray(sub.valid))) < float(
+            np.sum(np.asarray(full.valid))
+        )
+        # all conserved labels with cross-graph partners survive
+        lab = np.asarray(sub.labels)[np.asarray(sub.valid) > 0]
+        assert (lab >= 0).sum() > 0
+
     def test_padding_invariance(self):
         """Padded entries must not change the loss."""
         from ginfinity_tpu.training.losses import alignment_contrastive_loss
