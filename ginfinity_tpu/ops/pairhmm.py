@@ -55,9 +55,26 @@ def _lse3(a, b, c):
     )
 
 
-@partial(jax.jit, static_argnames=())
-def _forward(L, l1, l2, go, ge):
-    """Sum-product forward. Returns (M_diag [D+1, B, I], Z [B])."""
+def _lse_masked_rows(vals, mask):
+    """Per-row logsumexp over masked entries; NEG where the mask is
+    empty."""
+    v = jnp.where(mask, vals, NEG)
+    m = jnp.max(v, axis=1)
+    m_safe = jnp.maximum(m, NEG)
+    s = jnp.sum(jnp.where(mask, jnp.exp(v - m_safe[:, None]), 0.0), axis=1)
+    return jnp.where(m <= NEG, NEG, m_safe + jnp.log(jnp.maximum(s, 1e-38)))
+
+
+@partial(jax.jit, static_argnames=("local",))
+def _forward(L, l1, l2, go, ge, local: bool = False):
+    """Sum-product forward. Returns (M_diag [D+1, B, I], Z [B]).
+
+    ``local=True`` switches to the local model: every match cell may
+    start a fresh alignment (the +1 restart term in the M merge), there
+    are no leading-gap boundary chains, and Z sums alignment weight over
+    ALL match cells (end-anywhere, end-in-match).  This is the
+    sum-product counterpart of the reference's heuristic local mode
+    (embed_msa.py:397-517, ``local=1``)."""
     B, L1, L2 = L.shape
     D = L1 + L2
     iidx = jnp.arange(L1 + 1)
@@ -79,7 +96,10 @@ def _forward(L, l1, l2, go, ge):
         Mdd = shift_down(M2)  # M[i-1, j-1]
         Xdd = shift_down(X2)
         Ydd = shift_down(Y2)
-        M = s + _lse3(Mdd, Xdd, Ydd)
+        merge = _lse3(Mdd, Xdd, Ydd)
+        if local:
+            merge = _lse2(merge, jnp.zeros_like(merge))  # restart at (i, j)
+        M = s + merge
 
         Mup = shift_down(M1)  # M[i-1, j]
         Xup = shift_down(X1)
@@ -91,27 +111,37 @@ def _forward(L, l1, l2, go, ge):
         is_j0 = j[None, :] == 0
         # M[0,0] = 0 handled in init (d=0); M on boundary rows = NEG
         M = jnp.where(is_i0 | is_j0, NEG, M)
-        # X[i,0] = go + ge*(i-1); X[0,j] = NEG
-        X = jnp.where(
-            is_j0,
-            go + ge * (iidx[None, :].astype(jnp.float32) - 1.0),
-            jnp.where(is_i0, NEG, X),
-        )
-        Y = jnp.where(is_i0, go + ge * (jf[None, :] - 1.0), jnp.where(is_j0, NEG, Y))
+        if local:
+            # no leading-gap chains: local alignments start at a match
+            X = jnp.where(is_i0 | is_j0, NEG, X)
+            Y = jnp.where(is_i0 | is_j0, NEG, Y)
+        else:
+            # X[i,0] = go + ge*(i-1); X[0,j] = NEG
+            X = jnp.where(
+                is_j0,
+                go + ge * (iidx[None, :].astype(jnp.float32) - 1.0),
+                jnp.where(is_i0, NEG, X),
+            )
+            Y = jnp.where(is_i0, go + ge * (jf[None, :] - 1.0), jnp.where(is_j0, NEG, Y))
 
         M = jnp.where(valid, M, NEG)
         X = jnp.where(valid, X, NEG)
         Y = jnp.where(valid, Y, NEG)
 
-        at_end = d == (l1 + l2)
-        m_end = jnp.take_along_axis(M, l1[:, None], axis=1)[:, 0]
-        x_end = jnp.take_along_axis(X, l1[:, None], axis=1)[:, 0]
-        y_end = jnp.take_along_axis(Y, l1[:, None], axis=1)[:, 0]
-        Z = jnp.where(at_end, _lse3(m_end, x_end, y_end), Z)
+        if local:
+            # Z accumulates every in-range match cell (end anywhere)
+            match_ok = valid & ~is_i0 & ~is_j0
+            Z = _lse2(Z, _lse_masked_rows(M, match_ok))
+        else:
+            at_end = d == (l1 + l2)
+            m_end = jnp.take_along_axis(M, l1[:, None], axis=1)[:, 0]
+            x_end = jnp.take_along_axis(X, l1[:, None], axis=1)[:, 0]
+            y_end = jnp.take_along_axis(Y, l1[:, None], axis=1)[:, 0]
+            Z = jnp.where(at_end, _lse3(m_end, x_end, y_end), Z)
 
         return (M, M1, X, X1, Y, Y1, Z, Mend), M
 
-    M0 = jnp.full((B, L1 + 1), NEG).at[:, 0].set(0.0)  # diag 0: cell (0,0)
+    M0 = jnp.full((B, L1 + 1), NEG).at[:, 0].set(0.0 if not local else NEG)
     X0 = jnp.full((B, L1 + 1), NEG)
     Y0 = jnp.full((B, L1 + 1), NEG)
     Mm1 = jnp.full((B, L1 + 1), NEG)  # "diag -1"
@@ -127,9 +157,12 @@ def _forward(L, l1, l2, go, ge):
     return Ms, Z
 
 
-@partial(jax.jit, static_argnames=())
-def _backward(L, l1, l2, go, ge):
-    """Sum-product backward; returns B_M over diagonals [D+1, B, I]."""
+@partial(jax.jit, static_argnames=("local",))
+def _backward(L, l1, l2, go, ge, local: bool = False):
+    """Sum-product backward; returns B_M over diagonals [D+1, B, I].
+
+    ``local=True``: every match cell may END an alignment (a +1 term in
+    B_M), replacing the global mode's end-at-(l1,l2) condition."""
     B, L1, L2 = L.shape
     D = L1 + L2
     iidx = jnp.arange(L1 + 1)
@@ -164,11 +197,16 @@ def _backward(L, l1, l2, go, ge):
         BX = _lse2(diag_term, jnp.where(can_gap_x, ge + BXup, NEG))
         BY = _lse2(diag_term, jnp.where(can_gap_y, ge + BYright, NEG))
 
-        # end cell (l1, l2): all states end with log-prob 0
-        at_end_cell = (iidx[None, :] == l1[:, None]) & (j[None, :] == l2[:, None])
-        BM = jnp.where(at_end_cell, 0.0, BM)
-        BX = jnp.where(at_end_cell, 0.0, BX)
-        BY = jnp.where(at_end_cell, 0.0, BY)
+        if local:
+            # any in-range match cell can end the alignment
+            is_match = (iidx[None, :] >= 1) & (j[None, :] >= 1)
+            BM = jnp.where(is_match, _lse2(BM, jnp.zeros_like(BM)), BM)
+        else:
+            # end cell (l1, l2): all states end with log-prob 0
+            at_end_cell = (iidx[None, :] == l1[:, None]) & (j[None, :] == l2[:, None])
+            BM = jnp.where(at_end_cell, 0.0, BM)
+            BX = jnp.where(at_end_cell, 0.0, BX)
+            BY = jnp.where(at_end_cell, 0.0, BY)
 
         BM = jnp.where(valid, BM, NEG)
         BX = jnp.where(valid, BX, NEG)
@@ -197,12 +235,17 @@ def _unshear(diag_major: np.ndarray, b: int, L1: int, L2: int) -> np.ndarray:
 
 
 def pairhmm_posteriors(
-    score_mats: list[np.ndarray], gap_open: float, gap_extend: float
+    score_mats: list[np.ndarray], gap_open: float, gap_extend: float,
+    mode: str = "global",
 ) -> list[np.ndarray]:
     """Batched match posteriors P(i~j) for log-odds matrices.
 
     Pads to the batch max shape; returns per-pair [La, Lb] float32 in
-    [0, 1]."""
+    [0, 1].  ``mode="local"`` uses the restart/end-anywhere local model
+    (reference ``--use-local``, embed_msa.py:397-517)."""
+    if mode not in ("global", "local"):
+        raise ValueError(f"mode must be 'global' or 'local', got {mode!r}")
+    local = mode == "local"
     B = len(score_mats)
     L1 = max(m.shape[0] for m in score_mats)
     L2 = max(m.shape[1] for m in score_mats)
@@ -218,8 +261,8 @@ def pairhmm_posteriors(
     l2j = jnp.asarray(l2)
     go = jnp.float32(gap_open)
     ge = jnp.float32(gap_extend)
-    Ms, Z = _forward(Lj, l1j, l2j, go, ge)
-    BMs = _backward(Lj, l1j, l2j, go, ge)
+    Ms, Z = _forward(Lj, l1j, l2j, go, ge, local=local)
+    BMs = _backward(Lj, l1j, l2j, go, ge, local=local)
     Ms = np.asarray(Ms)
     BMs = np.asarray(BMs)
     Z = np.asarray(Z)

@@ -580,7 +580,8 @@ def build_parser():
     ap.add_argument("--gap-extend", type=float, default=-0.5)
     ap.add_argument("--use-center", type=float, default=None)
     ap.add_argument("--use-local", action="store_true",
-                    help="Reference CLI compatibility (posteriors use the global model).")
+                    help="Local pair-HMM posteriors (restart/end-anywhere "
+                         "model; reference embed_msa.py --use-local).")
     ap.add_argument("--tree", choices=["nj", "upgma"], default="nj")
     ap.add_argument("--refine-iters", type=int, default=0)
     ap.add_argument("--num-workers", type=int, default=4, help="Reference CLI compatibility.")
@@ -667,7 +668,10 @@ def main(argv=None):
                 S = (1.0 - args.seq_weight) * S + args.seq_weight * Sb
             sims_cache[(a, b)] = S.astype(np.float32)
             mats.append(calibrate_log_odds(S, alpha, beta))
-        Ps = pairhmm_posteriors(mats, args.gap_open, args.gap_extend)
+        Ps = pairhmm_posteriors(
+            mats, args.gap_open, args.gap_extend,
+            mode="local" if args.use_local else "global",
+        )
         for (a, b), P in zip(chunk, Ps):
             keep = sparsify_topk_mask(P, args.topk, 1e-4)
             Pk = np.where(keep, P, 0.0).astype(np.float32)
