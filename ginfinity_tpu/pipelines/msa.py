@@ -227,65 +227,124 @@ def sparsify_topk_mask(P: np.ndarray, topk: int, pmin: float = 1e-4) -> np.ndarr
 
 def consistency_round(post: dict, N: int, lam: float = 0.5, topk: int = 20,
                       pmin: float = 1e-4) -> dict:
-    """One T-Coffee consistency round over sparse-as-dense posteriors.
+    """One T-Coffee consistency round over the sparse-as-dense posterior
+    dict — the host-resident fallback and the oracle for the
+    device-resident path below.
 
     ``post[(a, b)]`` is the dense (already sparsified: zeros elsewhere)
-    posterior matrix.  P'_AB = (1-lam) P_AB + lam * mean_C (P_AC @ P_CB).
-    The sum over intermediates C runs as ONE batched einsum per pair on
-    the MXU: per-sequence matrices are zero-padded to Lmax, and padding
-    contributes exact zeros to the products.
+    posterior matrix.  P'_AB = (1-lam) P_AB + lam * mean_C (P_AC @ P_CB),
+    where the mean runs over intermediates C with BOTH (a, C) and (C, b)
+    posteriors present; then row/col top-K + pmin sparsification.
     """
-    import jax
-    import jax.numpy as jnp
-
     lengths = {}
     for (a, b), P in post.items():
         lengths[a] = P.shape[0]
         lengths[b] = P.shape[1]
     if not lengths:
         return dict(post)
-    Lmax = max(lengths.values())
 
-    def get_padded(a, c):
-        """P(a, c) zero-padded to [Lmax, Lmax] (or None)."""
+    def get(a, c):
         if (a, c) in post:
-            P = post[(a, c)]
-        elif (c, a) in post:
-            P = post[(c, a)].T
-        else:
-            return None
-        out = np.zeros((Lmax, Lmax), np.float32)
-        out[: P.shape[0], : P.shape[1]] = P
-        return out
-
-    fused = jax.jit(lambda ac, cb: jnp.einsum(
-        "cik,ckj->ij", ac, cb, preferred_element_type=jnp.float32
-    ))
+            return post[(a, c)]
+        if (c, a) in post:
+            return post[(c, a)].T
+        return None
 
     out = {}
     for (a, b), Pab in post.items():
-        La, Lb = Pab.shape
-        acs, cbs = [], []
+        acc = np.zeros_like(Pab)
+        count = 0
         for c in range(N):
             if c in (a, b):
                 continue
-            AC = get_padded(a, c)
-            CB = get_padded(c, b)
+            AC = get(a, c)
+            CB = get(c, b)
             if AC is None or CB is None:
                 continue
-            acs.append(AC)
-            cbs.append(CB)
-        if acs:
-            acc = np.asarray(fused(jnp.asarray(np.stack(acs)), jnp.asarray(np.stack(cbs))))
-            acc = acc[:La, :Lb]
-            count = len(acs)
-        else:
-            acc = np.zeros((La, Lb), np.float32)
-            count = 0
+            acc += AC @ CB
+            count += 1
         newP = (1.0 - lam) * Pab + lam * (acc / max(1, count))
         keep = sparsify_topk_mask(newP, topk, pmin)
         out[(a, b)] = np.where(keep, newP, 0.0).astype(np.float32)
     return out
+
+
+def _consistency_device_round_fn():
+    """Build the jitted one-round transform over the stacked posterior
+    tensor P [N, N, Lmax, Lmax] (P[b,a] = P[a,b].T, diagonal zero) and
+    presence mask E [N, N].
+
+    The whole round is ONE einsum on the MXU: acc[a,b] = sum_C
+    P[a,C] @ P[C,b]; the zero diagonal removes C in {a, b}, and the
+    zero blocks of missing pairs contribute nothing, so dividing by
+    counts[a,b] = (E @ E)[a,b] reproduces the sparse-dict mean exactly.
+    Sparsification uses per-row/per-column k-th-value thresholds (equal
+    to the argpartition rule away from exact ties).
+    """
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("topk",))
+    def round_fn(P, E, lam, topk, pmin):
+        acc = jnp.einsum("acik,cbkj->abij", P, P,
+                         preferred_element_type=jnp.float32)
+        Ef = E.astype(jnp.float32)
+        counts = Ef @ Ef  # diag(E) is False -> C in {a, b} never counted
+        newP = (1.0 - lam) * P + lam * acc / jnp.maximum(counts, 1.0)[..., None, None]
+        k = min(int(topk), P.shape[-1])
+        row_kth = jax.lax.top_k(newP, k)[0][..., -1:]
+        col_kth = jnp.swapaxes(
+            jax.lax.top_k(jnp.swapaxes(newP, -1, -2), k)[0][..., -1:], -1, -2
+        )
+        keep = (newP >= row_kth) & (newP >= col_kth) & (newP >= pmin)
+        return jnp.where(keep & E[..., None, None], newP, 0.0)
+
+    return round_fn
+
+
+def run_consistency_rounds(
+    post: dict, N: int, rounds: int, lam: float = 0.5, topk: int = 20,
+    pmin: float = 1e-4, hbm_budget_bytes: int = 4 << 30,
+) -> dict:
+    """All consistency rounds with the posteriors resident on device.
+
+    Uploads the stacked [N, N, Lmax, Lmax] tensor once, runs every round
+    as one einsum program, downloads the result once.  Falls back to the
+    per-pair host path when the stacked tensor exceeds ``hbm_budget_bytes``.
+    """
+    if rounds <= 0 or not post:
+        return post
+    lengths = np.zeros(N, np.int64)
+    for (a, b), P in post.items():
+        lengths[a] = P.shape[0]
+        lengths[b] = P.shape[1]
+    Lmax = int(lengths.max())
+    if 2 * (N * N * Lmax * Lmax * 4) > hbm_budget_bytes:  # P + einsum output
+        out = post
+        for _ in range(rounds):
+            out = consistency_round(out, N, lam, topk, pmin)
+        return out
+
+    import jax.numpy as jnp
+
+    Pstack = np.zeros((N, N, Lmax, Lmax), np.float32)
+    E = np.zeros((N, N), bool)
+    for (a, b), P in post.items():
+        la, lb = P.shape
+        Pstack[a, b, :la, :lb] = P
+        Pstack[b, a, :lb, :la] = P.T
+        E[a, b] = E[b, a] = True
+    round_fn = _consistency_device_round_fn()
+    Pdev = jnp.asarray(Pstack)
+    Edev = jnp.asarray(E)
+    for _ in range(rounds):
+        Pdev = round_fn(Pdev, Edev, jnp.float32(lam), topk, jnp.float32(pmin))
+    Pout = np.asarray(Pdev)
+    return {
+        (a, b): Pout[a, b, : lengths[a], : lengths[b]].copy()
+        for (a, b) in post
+    }
 
 
 def build_distance_matrix(post: dict, N: int) -> np.ndarray:
@@ -304,71 +363,49 @@ def build_distance_matrix(post: dict, N: int) -> np.ndarray:
 
 
 def build_guide_tree(D: np.ndarray, method: str = "nj"):
+    """NJ / UPGMA guide tree in matrix form (no dicts, no Python double
+    loops).  Cluster ids index one (2N-1)x(2N-1) working matrix; every
+    merge is a vectorized row update plus a masked argmin.  Row-major
+    argmin over the id-ordered matrix reproduces the canonical "first
+    (a, b) in ascending-id order wins ties" selection.  Returns the
+    nested-tuple topology the progressive aligner consumes
+    (reference semantics: embed_msa.py:700-805)."""
     N = D.shape[0]
     if N == 1:
         return 0
-    clusters = {i: i for i in range(N)}
-    sizes = {i: 1 for i in range(N)}
-    dist = {(i, j): float(D[i, j]) for i in range(N) for j in range(i + 1, N)}
-    next_id = N
-    active = set(range(N))
-
-    def get_d(a, b):
-        if a == b:
-            return 0.0
-        x, y = (a, b) if a < b else (b, a)
-        return dist[(x, y)]
-
-    if method == "upgma":
-        while len(active) > 1:
-            act = sorted(active)
-            best, best_d = None, 1e9
-            for i in range(len(act)):
-                for j in range(i + 1, len(act)):
-                    d = get_d(act[i], act[j])
-                    if d < best_d:
-                        best_d, best = d, (act[i], act[j])
-            a, b = best
-            new = next_id
-            next_id += 1
-            clusters[new] = (clusters[a], clusters[b])
-            sa, sb = sizes[a], sizes[b]
-            sizes[new] = sa + sb
-            for c in list(active):
-                if c in (a, b):
-                    continue
-                dc = (get_d(a, c) * sa + get_d(b, c) * sb) / (sa + sb)
-                dist[(min(c, new), max(c, new))] = dc
-            active -= {a, b}
-            active.add(new)
-        return clusters[next(iter(active))]
-
-    # Neighbor-Joining
-    while len(active) > 2:
-        act = sorted(active)
-        m = len(act)
-        rsum = {i: sum(get_d(i, k) for k in act if k != i) for i in act}
-        best, best_q = None, 1e9
-        for i in range(len(act)):
-            for j in range(i + 1, len(act)):
-                a, b = act[i], act[j]
-                q = (m - 2) * get_d(a, b) - rsum[a] - rsum[b]
-                if q < best_q:
-                    best_q, best = q, (a, b)
-        a, b = best
-        u = next_id
-        next_id += 1
-        clusters[u] = (clusters[a], clusters[b])
-        sizes[u] = sizes[a] + sizes[b]
-        dab = get_d(a, b)
-        for k in list(active):
-            if k in (a, b):
-                continue
-            dist[(min(k, u), max(k, u))] = (get_d(a, k) + get_d(b, k) - dab) / 2.0
-        active -= {a, b}
-        active.add(u)
-    a, b = sorted(active)
-    return (clusters[a], clusters[b])
+    # Compact m x m working matrix in ascending-cluster-id order: leaves
+    # start sorted, and every new cluster gets the largest id so far, so
+    # appending its row/col at the END keeps the order — which makes the
+    # row-major argmin reproduce the canonical "first (a, b) in
+    # ascending-id order wins ties" selection.
+    Wm = D.astype(np.float64).copy()
+    np.fill_diagonal(Wm, 0.0)
+    nodes: list = list(range(N))
+    sizes = np.ones(N, np.float64)
+    stop_at = 1 if method == "upgma" else 2
+    while len(nodes) > stop_at:
+        m = Wm.shape[0]
+        if method == "upgma":
+            Q = Wm.copy()
+        else:
+            rsum = Wm.sum(axis=1)  # d(i,i) = 0
+            Q = (m - 2) * Wm - rsum[:, None] - rsum[None, :]
+        Q[np.tril_indices(m)] = np.inf
+        flat = int(np.argmin(Q))
+        a, b = flat // m, flat % m  # a < b in id order
+        dab = Wm[a, b]
+        sa, sb = sizes[a], sizes[b]
+        if method == "upgma":
+            row = (Wm[a] * sa + Wm[b] * sb) / (sa + sb)
+        else:
+            row = (Wm[a] + Wm[b] - dab) / 2.0
+        keep = np.ones(m, bool)
+        keep[[a, b]] = False
+        Wm = np.pad(Wm[np.ix_(keep, keep)], ((0, 1), (0, 1)))
+        Wm[-1, :-1] = Wm[:-1, -1] = row[keep]
+        nodes = [n for k, n in enumerate(nodes) if keep[k]] + [(nodes[a], nodes[b])]
+        sizes = np.append(sizes[keep], sa + sb)
+    return nodes[0] if method == "upgma" else (nodes[0], nodes[1])
 
 
 # ==========================================================================
@@ -681,8 +718,9 @@ def main(argv=None):
 
     if N >= 3 and args.consistency_rounds > 0:
         print(f"Running {args.consistency_rounds} consistency round(s)...")
-        for _ in range(args.consistency_rounds):
-            post = consistency_round(post, N, lam=0.5, topk=args.topk, pmin=1e-4)
+        post = run_consistency_rounds(
+            post, N, args.consistency_rounds, lam=0.5, topk=args.topk, pmin=1e-4
+        )
 
     D = build_distance_matrix(post, N)
     tree = build_guide_tree(D, method=args.tree)

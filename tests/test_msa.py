@@ -68,6 +68,144 @@ class TestSparsify:
             assert P[i, j] >= np.partition(P[:, j], -5)[-5] - 1e-7
 
 
+def _random_sparse_posteriors(rng, lengths, topk=6, drop_pairs=()):
+    """Random already-sparsified posterior dict over all (a, b) pairs."""
+    from ginfinity_tpu.pipelines.msa import sparsify_topk_mask
+
+    post = {}
+    N = len(lengths)
+    for a in range(N):
+        for b in range(a + 1, N):
+            if (a, b) in drop_pairs:
+                continue
+            P = rng.random((lengths[a], lengths[b])).astype(np.float32) ** 3
+            keep = sparsify_topk_mask(P, topk, 1e-4)
+            post[(a, b)] = np.where(keep, P, 0.0).astype(np.float32)
+    return post
+
+
+class TestConsistency:
+    @pytest.mark.parametrize("drop", [(), ((1, 3), (0, 4))])
+    def test_device_rounds_equal_dict_oracle(self, drop):
+        from ginfinity_tpu.pipelines.msa import (
+            consistency_round,
+            run_consistency_rounds,
+        )
+
+        rng = np.random.default_rng(5)
+        lengths = [7, 11, 9, 8, 12]
+        post = _random_sparse_posteriors(rng, lengths, topk=4, drop_pairs=drop)
+        want = dict(post)
+        for _ in range(2):
+            want = consistency_round(want, len(lengths), 0.5, 4, 1e-4)
+        got = run_consistency_rounds(post, len(lengths), 2, 0.5, 4, 1e-4)
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], atol=2e-6, rtol=2e-5)
+
+    def test_hbm_budget_falls_back_to_host(self):
+        from ginfinity_tpu.pipelines.msa import run_consistency_rounds
+
+        rng = np.random.default_rng(6)
+        post = _random_sparse_posteriors(rng, [6, 6, 6])
+        got = run_consistency_rounds(post, 3, 1, hbm_budget_bytes=16)
+        assert set(got) == set(post)
+
+
+class TestGuideTree:
+    @staticmethod
+    def _oracle_tree(D, method):
+        """Dict-based reference-semantics oracle (embed_msa.py:700-805),
+        test-only."""
+        N = D.shape[0]
+        if N == 1:
+            return 0
+        clusters = {i: i for i in range(N)}
+        sizes = {i: 1 for i in range(N)}
+        dist = {(i, j): float(D[i, j]) for i in range(N) for j in range(i + 1, N)}
+        next_id, active = N, set(range(N))
+
+        def get_d(a, b):
+            if a == b:
+                return 0.0
+            x, y = (a, b) if a < b else (b, a)
+            return dist[(x, y)]
+
+        while len(active) > (1 if method == "upgma" else 2):
+            act = sorted(active)
+            m = len(act)
+            if method == "nj":
+                rsum = {i: sum(get_d(i, k) for k in act if k != i) for i in act}
+            best, best_v = None, 1e18
+            for x in range(m):
+                for y in range(x + 1, m):
+                    a, b = act[x], act[y]
+                    v = (
+                        get_d(a, b)
+                        if method == "upgma"
+                        else (m - 2) * get_d(a, b) - rsum[a] - rsum[b]
+                    )
+                    if v < best_v:
+                        best_v, best = v, (a, b)
+            a, b = best
+            u = next_id
+            next_id += 1
+            clusters[u] = (clusters[a], clusters[b])
+            sa, sb = sizes[a], sizes[b]
+            sizes[u] = sa + sb
+            dab = get_d(a, b)
+            for c in list(active):
+                if c in (a, b):
+                    continue
+                dc = (
+                    (get_d(a, c) * sa + get_d(b, c) * sb) / (sa + sb)
+                    if method == "upgma"
+                    else (get_d(a, c) + get_d(b, c) - dab) / 2.0
+                )
+                dist[(min(c, u), max(c, u))] = dc
+            active -= {a, b}
+            active.add(u)
+        if method == "upgma":
+            return clusters[next(iter(active))]
+        a, b = sorted(active)
+        return (clusters[a], clusters[b])
+
+    @pytest.mark.parametrize("method", ["nj", "upgma"])
+    @pytest.mark.parametrize("n", [2, 3, 7, 20])
+    def test_matches_oracle(self, method, n):
+        from ginfinity_tpu.pipelines.msa import build_guide_tree
+
+        rng = np.random.default_rng(n * 7 + (method == "nj"))
+        A = rng.random((n, n)).astype(np.float32)
+        D = (A + A.T) / 2
+        np.fill_diagonal(D, 0.0)
+        assert build_guide_tree(D, method) == self._oracle_tree(D, method)
+
+    def test_single_leaf(self):
+        from ginfinity_tpu.pipelines.msa import build_guide_tree
+
+        assert build_guide_tree(np.zeros((1, 1), np.float32)) == 0
+
+    @pytest.mark.parametrize("method", ["nj", "upgma"])
+    def test_500_leaves_under_a_second(self, method):
+        import time
+
+        from ginfinity_tpu.pipelines.msa import build_guide_tree
+
+        rng = np.random.default_rng(9)
+        A = rng.random((500, 500)).astype(np.float32)
+        D = (A + A.T) / 2
+        np.fill_diagonal(D, 0.0)
+        t0 = time.perf_counter()
+        tree = build_guide_tree(D, method)
+        dt = time.perf_counter() - t0
+        # every leaf appears exactly once
+        def leaves(t):
+            return [t] if isinstance(t, int) else leaves(t[0]) + leaves(t[1])
+        assert sorted(leaves(tree)) == list(range(500))
+        assert dt < 1.0, f"{method} took {dt:.2f}s"
+
+
 class TestMSACLI:
     def test_dummy_mode(self, tmp_path):
         from ginfinity_tpu.pipelines.msa import main
