@@ -89,18 +89,107 @@ def save_matrix_png(matrix: np.ndarray, path: str, title=None):
     plt.close(fig)
 
 
+_OPEN, _CLOSE = "([{<", ")]}>"
+
+
+def _struct_kind(ch: str) -> str:
+    if ch == ".":
+        return "unpaired"
+    if ch in _OPEN:
+        return "stem (opening)"
+    if ch in _CLOSE:
+        return "stem (closing)"
+    return "other"
+
+
+def _compat_kind(c1: str, c2: str) -> str:
+    if c1 == "." and c2 == ".":
+        return "both unpaired"
+    if c1 in _OPEN and c2 in _OPEN:
+        return "both stem opening"
+    if c1 in _CLOSE and c2 in _CLOSE:
+        return "both stem closing"
+    if (c1 in _OPEN and c2 in _CLOSE) or (c1 in _CLOSE and c2 in _OPEN):
+        return "complementary stems"
+    if c1 == "." or c2 == ".":
+        return "mixed (paired/unpaired)"
+    return "other combination"
+
+
 def save_matrix_html(matrix, path, title=None, s1=None, s2=None, rna1_id="RNA1", rna2_id="RNA2"):
+    """Interactive HTML heatmap: per-cell hover shows positions, cosine
+    similarity, each RNA's structure character with its interpretation,
+    and the structural-compatibility class; the first 50 structure
+    characters are rendered along the axes
+    (align_node_embeddings.py:48-190 behavior)."""
     try:
         import plotly.graph_objects as go
         import plotly.offline as pyo
     except ImportError:
         print("[warn] plotly not available; skipping HTML heatmap.")
         return
-    fig = go.Figure(data=go.Heatmap(z=matrix, colorscale="RdBu_r", zmid=0, zmin=-1, zmax=1))
+
+    L1, L2 = matrix.shape
+    # precompute per-position hover fragments once per axis
+    frag1 = [
+        f"<br>{rna1_id} structure: {s1[i]} ({_struct_kind(s1[i])})" if (s1 and i < len(s1)) else ""
+        for i in range(L1)
+    ]
+    frag2 = [
+        f"<br>{rna2_id} structure: {s2[j]} ({_struct_kind(s2[j])})" if (s2 and j < len(s2)) else ""
+        for j in range(L2)
+    ]
+    hover_text = [
+        [
+            f"{rna1_id} position: {i}<br>{rna2_id} position: {j}"
+            f"<br>Cosine similarity: {matrix[i, j]:.6f}"
+            + frag1[i]
+            + frag2[j]
+            + (
+                f"<br>Structural compatibility: {_compat_kind(s1[i], s2[j])}"
+                if (s1 and s2 and i < len(s1) and j < len(s2))
+                else ""
+            )
+            for j in range(L2)
+        ]
+        for i in range(L1)
+    ]
+
+    fig = go.Figure(data=go.Heatmap(
+        z=matrix,
+        hoverongaps=False,
+        hovertemplate="%{hovertext}<extra></extra>",
+        hovertext=hover_text,
+        colorscale="RdBu_r",
+        zmid=0,
+        zmin=-1,
+        zmax=1,
+        colorbar=dict(title="Cosine Similarity"),
+    ))
     fig.update_layout(
-        title=title or f"Similarity: {rna1_id} vs {rna2_id}",
+        title=title or f"Interactive Similarity Matrix: {rna1_id} vs {rna2_id}",
+        xaxis_title=f"{rna2_id} Node Index",
+        yaxis_title=f"{rna1_id} Node Index",
+        xaxis=dict(side="bottom"),
         yaxis=dict(autorange="reversed"),
+        width=max(600, min(1200, L2 * 15)),
+        height=max(600, min(1200, L1 * 15)),
+        font=dict(size=12),
     )
+    annotations = []
+    if s1:
+        annotations += [
+            dict(x=-0.02, y=i, xref="paper", yref="y", text=s1[i], showarrow=False,
+                 font=dict(size=10, family="monospace"), xanchor="right")
+            for i in range(min(len(s1), L1, 50))
+        ]
+    if s2:
+        annotations += [
+            dict(x=j, y=-0.02, xref="x", yref="paper", text=s2[j], showarrow=False,
+                 font=dict(size=10, family="monospace"), yanchor="top")
+            for j in range(min(len(s2), L2, 50))
+        ]
+    fig.update_layout(annotations=annotations)
     pyo.plot(fig, filename=path, auto_open=False)
 
 

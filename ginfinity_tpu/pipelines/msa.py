@@ -587,6 +587,27 @@ def write_outputs(aln: Profile, names, out_prefix, diagnostics):
         pd.DataFrame(diagnostics["expected_scores"]).to_csv(
             os.path.join(diag_dir, "expected_scores.tsv"), sep="\t", header=False, index=False
         )
+    # posterior heatmap PNGs, first 6 pairs (embed_msa.py:1219-1238)
+    heatmaps = diagnostics.get("posteriors_heatmaps") or []
+    if heatmaps:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg", force=True)
+            import matplotlib.pyplot as plt
+        except ImportError:
+            plt = None
+        if plt is not None:
+            for k, (pair, mat) in enumerate(heatmaps):
+                if k >= 6:
+                    break
+                plt.figure(figsize=(4, 4))
+                plt.imshow(mat, origin="lower", aspect="auto", cmap="viridis")
+                plt.colorbar()
+                plt.title(f"Pair {pair[0]}-{pair[1]}")
+                plt.tight_layout()
+                plt.savefig(os.path.join(diag_dir, f"pair_{pair[0]}_{pair[1]}.png"))
+                plt.close()
     meta = {k: v for k, v in diagnostics.items() if k != "posteriors_heatmaps"}
     with open(os.path.join(diag_dir, "run_meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -688,6 +709,7 @@ def main(argv=None):
     post: dict[tuple[int, int], np.ndarray] = {}
     expected_scores = np.zeros((N, N), np.float32)
     sims_cache: dict[tuple[int, int], np.ndarray] = {}
+    heatmaps: list[tuple[tuple[int, int], np.ndarray]] = []
     # batch pairs through the device wavefront
     for s in range(0, len(pairs), args.pair_batch):
         chunk = pairs[s : s + args.pair_batch]
@@ -715,6 +737,8 @@ def main(argv=None):
             post[(a, b)] = Pk
             S = sims_cache[(a, b)]
             expected_scores[a, b] = expected_scores[b, a] = float((S * Pk).sum())
+            if args.plot_diagnostics and len(heatmaps) < 6:
+                heatmaps.append(((a, b), Pk))
 
     if N >= 3 and args.consistency_rounds > 0:
         print(f"Running {args.consistency_rounds} consistency round(s)...")
@@ -749,6 +773,8 @@ def main(argv=None):
         "max_pairs": args.max_pairs,
         "timing_sec": time.time() - t_start,
     }
+    if args.plot_diagnostics and heatmaps:
+        diagnostics["posteriors_heatmaps"] = heatmaps
     if args.use_center is not None and trim_bounds is not None:
         diagnostics["use_center_fraction"] = float(args.use_center)
         diagnostics["center_trim_bounds"] = [[int(s_), int(e)] for s_, e in trim_bounds]

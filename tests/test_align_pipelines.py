@@ -101,3 +101,74 @@ class TestAlignBatchCLI:
         # per-pair dirs written
         sub = [d for d in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, d))]
         assert len(sub) == 6
+
+
+class TestHtmlHeatmap:
+    def test_hover_and_annotations(self, tmp_path, monkeypatch):
+        """save_matrix_html must use s1/s2: hover text carries structure
+        characters + compatibility, axis annotations carry the chars.
+        plotly is stubbed (not installed in this image, optional in the
+        reference too)."""
+        import sys
+        import types
+
+        captured = {}
+
+        class FakeHeatmap:
+            def __init__(self, **kw):
+                captured["heatmap"] = kw
+
+        class FakeFigure:
+            def __init__(self, data=None):
+                self.layout = {}
+
+            def update_layout(self, **kw):
+                self.layout.update(kw)
+                captured["layout"] = self.layout
+
+        fake_go = types.ModuleType("plotly.graph_objects")
+        fake_go.Heatmap = FakeHeatmap
+        fake_go.Figure = FakeFigure
+        fake_pyo = types.ModuleType("plotly.offline")
+
+        def fake_plot(fig, filename=None, auto_open=False):
+            captured["filename"] = filename
+            with open(filename, "w") as f:
+                f.write("<html>stub</html>")
+
+        fake_pyo.plot = fake_plot
+        fake_plotly = types.ModuleType("plotly")
+        fake_plotly.graph_objects = fake_go
+        fake_plotly.offline = fake_pyo
+        monkeypatch.setitem(sys.modules, "plotly", fake_plotly)
+        monkeypatch.setitem(sys.modules, "plotly.graph_objects", fake_go)
+        monkeypatch.setitem(sys.modules, "plotly.offline", fake_pyo)
+
+        from ginfinity_tpu.pipelines.align import save_matrix_html
+
+        m = np.array([[0.9, -0.2], [0.1, 0.8], [0.0, 0.5]], np.float32)
+        out = str(tmp_path / "m.html")
+        save_matrix_html(m, out, s1="(.)", s2="()", rna1_id="A", rna2_id="B")
+
+        assert os.path.exists(out)
+        hover = captured["heatmap"]["hovertext"]
+        assert len(hover) == 3 and len(hover[0]) == 2
+        assert "A structure: ( (stem (opening))" in hover[0][0]
+        assert "B structure: ) (stem (closing))" in hover[0][1]
+        assert "Structural compatibility: complementary stems" in hover[0][1]
+        assert "Cosine similarity: 0.900000" in hover[0][0]
+        # structure chars rendered along both axes
+        ann = captured["layout"]["annotations"]
+        texts = [a["text"] for a in ann]
+        assert texts == ["(", ".", ")", "(", ")"]
+
+
+class TestMsaPlotDiagnostics:
+    def test_heatmap_pngs_written(self, tmp_path):
+        from ginfinity_tpu.pipelines.msa import main
+
+        prefix = str(tmp_path / "out" / "msa")
+        main(["--input", "dummy", "--out-prefix", prefix, "--plot-diagnostics"])
+        diag = prefix + ".diagnostics"
+        pngs = [f for f in os.listdir(diag) if f.startswith("pair_") and f.endswith(".png")]
+        assert 1 <= len(pngs) <= 6, os.listdir(diag)
