@@ -56,10 +56,21 @@ class GINConfig:
     gin_eps: float = 0.0
     train_eps: bool = True
     seq_weight: float = 0.0
+    # "highest" = full-f32 MXU passes (retrieval-identical parity with the
+    # reference; the TPU default bf16 pass loses rank order for
+    # near-equidistant neighbours).  "bf16" = single bf16 pass with f32
+    # accumulation — the idiomatic ~2x throughput mode.  Not part of the
+    # checkpoint metadata (a runtime choice, not a model property).
+    matmul_precision: str = "highest"
 
     @property
     def gin_layers(self) -> int:
         return len(self.hidden_dims)
+
+    def with_precision(self, precision: str) -> "GINConfig":
+        if precision not in ("highest", "bf16"):
+            raise ValueError(f"matmul_precision must be 'highest' or 'bf16', got {precision!r}")
+        return dataclasses.replace(self, matmul_precision=precision)
 
     @staticmethod
     def create(
@@ -327,17 +338,21 @@ def _batch_norm(x, p, bn_state, batch: GraphBatch, train: bool):
 # On TPU, float32 matmuls default to bfloat16 passes; the encoder is tiny
 # (hidden dims ~128-512) and HBM-bound, so full-f32 MXU precision costs
 # little and is required for retrieval-identical parity with the reference.
-# Flip to Precision.DEFAULT (bf16) via set_matmul_precision for speed runs.
-_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+# config.matmul_precision="bf16" selects single-pass bf16 (f32 accumulate)
+# for speed runs; being a GINConfig field it participates in every jit key,
+# so flipping it always retraces.
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "bf16": jax.lax.Precision.DEFAULT,
+}
 
 
-def set_matmul_precision(precision) -> None:
-    global _MATMUL_PRECISION
-    _MATMUL_PRECISION = precision
+def _prec(config: GINConfig):
+    return _PRECISIONS[config.matmul_precision]
 
 
-def _dense(x, p):
-    return jnp.dot(x, p["kernel"], precision=_MATMUL_PRECISION) + p["bias"]
+def _dense(x, p, precision):
+    return jnp.dot(x, p["kernel"], precision=precision) + p["bias"]
 
 
 def _dropout(x, rate: float, rng, train: bool):
@@ -360,7 +375,8 @@ def encode_nodes(
     """Run the GINE stack; returns raw node embeddings [N_pad, D] and
     (possibly updated) state.  Mirrors ``GINModel._encode_graph``
     (model/gin_model.py:244-264)."""
-    x = _dense(batch.node_feat, params["node_encoder"])
+    prec = _prec(config)
+    x = _dense(batch.node_feat, params["node_encoder"], prec)
     new_bns = []
     n_layers = config.gin_layers
     if train and rng is not None:
@@ -370,17 +386,17 @@ def encode_nodes(
         h_in = x
 
         # GINEConv message passing
-        edge_emb = _dense(batch.edge_attr, conv["edge_lin"])
+        edge_emb = _dense(batch.edge_attr, conv["edge_lin"], prec)
         msg = jax.nn.relu(x[batch.edge_src] + edge_emb) * batch.edge_mask[:, None]
         agg = jax.ops.segment_sum(msg, batch.edge_dst, num_segments=batch.num_nodes_padded)
         eps = conv["eps"] if config.train_eps else jax.lax.stop_gradient(conv["eps"])
         h = (1.0 + eps) * x + agg
 
         # 2-layer MLP with optional inner dropout (gin_model.py:102-112)
-        h = jax.nn.relu(_dense(h, conv["mlp0"]))
+        h = jax.nn.relu(_dense(h, conv["mlp0"], prec))
         if train and config.dropout > 0 and rng is not None:
             h = _dropout(h, config.dropout, layer_rngs[2 * i], train)
-        h = jax.nn.relu(_dense(h, conv["mlp1"]))
+        h = jax.nn.relu(_dense(h, conv["mlp1"], prec))
 
         # Norm
         nt = config.norm_type
@@ -424,7 +440,7 @@ def apply_node_norm(config: GINConfig, state: State, x: jnp.ndarray) -> jnp.ndar
     return x
 
 
-def _set2set(params, x, batch: GraphBatch, processing_steps: int = 2):
+def _set2set(params, x, batch: GraphBatch, precision, processing_steps: int = 2):
     """Set2Set pooling (PyG semantics) with a manually-unrolled torch-layout
     LSTM; processing_steps=2 as in the reference (gin_model.py:119)."""
     p = params["set2set"]
@@ -436,9 +452,9 @@ def _set2set(params, x, batch: GraphBatch, processing_steps: int = 2):
     neg_inf = jnp.finfo(x.dtype).min
     for _ in range(processing_steps):
         gates = (
-            jnp.dot(q_star, p["w_ih"].T, precision=_MATMUL_PRECISION)
+            jnp.dot(q_star, p["w_ih"].T, precision=precision)
             + p["b_ih"]
-            + jnp.dot(h, p["w_hh"].T, precision=_MATMUL_PRECISION)
+            + jnp.dot(h, p["w_hh"].T, precision=precision)
             + p["b_hh"]
         )
         gi, gf, gg, go = jnp.split(gates, 4, axis=1)
@@ -462,7 +478,7 @@ def pool_and_project(
     """Graph pooling + final projection (gin_model.py:286-288).
     Returns [G, output_dim] (trash segment dropped)."""
     if config.pooling_type == "set2set":
-        pooled = _set2set(params, x, batch)
+        pooled = _set2set(params, x, batch, _prec(config))
     else:
         pooled = jax.ops.segment_sum(
             x * batch.node_mask[:, None], batch.node_graph, num_segments=batch.num_graphs + 1
@@ -470,7 +486,7 @@ def pool_and_project(
         if config.pooling_type == "global_mean_pool":
             counts = _graph_counts(batch)
             pooled = pooled / jnp.maximum(counts, 1.0)[:, None]
-    out = _dense(pooled, params["fc"])
+    out = _dense(pooled, params["fc"], _prec(config))
     return out[: batch.num_graphs]
 
 

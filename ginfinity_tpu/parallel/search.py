@@ -55,10 +55,14 @@ class TopKSearcher:
         metric: str = "sqeuclidean",
         mesh: Mesh | None = None,
         query_block: int = 1024,
+        precision: str = "highest",
     ):
         if metric not in ("sqeuclidean", "cosine", "dot"):
             raise ValueError(f"unknown metric {metric!r}")
+        if precision not in ("highest", "bf16"):
+            raise ValueError(f"precision must be 'highest' or 'bf16', got {precision!r}")
         self.metric = metric
+        self.precision = precision
         self.mesh = mesh or make_data_mesh()
         self.n = corpus.shape[0]
         self.dim = corpus.shape[1]
@@ -90,6 +94,15 @@ class TopKSearcher:
         shard_rows = self._corpus.shape[0] // n_dev
         metric = self.metric
 
+        # default "highest" = full f32 MXU passes: the bf16 default pass
+        # loses rank order for near-equidistant neighbours (recall@10
+        # dropped to 0.996); "bf16" trades that for ~2x Gram throughput
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if self.precision == "highest"
+            else jax.lax.Precision.DEFAULT
+        )
+
         def shard_search(corpus, valid, sqnorm, queries):
             # corpus [rows_local, D], queries [Q, D] replicated
             scores = jax.lax.dot_general(
@@ -97,9 +110,7 @@ class TopKSearcher:
                 corpus,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                # full f32 MXU passes: bf16 default loses rank order for
-                # near-equidistant neighbours (recall@10 dropped to 0.996)
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )  # [Q, rows_local]
             if metric == "sqeuclidean":
                 # maximize 2 q.c - ||c||^2  ==  minimize ||q - c||^2

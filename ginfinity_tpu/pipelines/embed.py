@@ -37,6 +37,7 @@ def generate_embeddings(
     graph_encoding_override: str | None = None,
     seq_weight_override: float | None = None,
     sequence_column: str = "sequence",
+    precision: str = "highest",
 ):
     final_keep = [id_column]
     if "seq_len" in input_df.columns:
@@ -44,7 +45,9 @@ def generate_embeddings(
     if keep_cols:
         final_keep.extend(keep_cols)
 
-    engine = InferenceEngine.from_checkpoint(model_path, max_nodes_per_batch=batch_nodes)
+    engine = InferenceEngine.from_checkpoint(
+        model_path, precision=precision, max_nodes_per_batch=batch_nodes
+    )
     cfg = engine.config
     graph_encoding = (graph_encoding_override or cfg.graph_encoding or "standard").lower()
     if graph_encoding not in {"standard", "forgi"}:
@@ -112,7 +115,11 @@ def _embed_precomputed(args):
     log_path = os.path.splitext(args.output)[0] + ".log"
     open(log_path, "a").close()
 
-    engine = InferenceEngine.from_checkpoint(args.model_path, max_nodes_per_batch=args.batch_nodes)
+    engine = InferenceEngine.from_checkpoint(
+        args.model_path,
+        precision="highest" if args.precision == "f32" else "bf16",
+        max_nodes_per_batch=args.batch_nodes,
+    )
     graphs = adapt_feature_dim(graphs, engine.config.node_feature_dim)
     embeddings = engine.embed_graphs(graphs)
 
@@ -158,6 +165,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile-dir", default=None,
                         help="Write a jax.profiler trace of the run to this directory "
                              "(view with TensorBoard / xprof).")
+    parser.add_argument("--precision", choices=["f32", "bf16"], default="f32",
+                        help="MXU matmul precision. f32 (default) is "
+                             "retrieval-identical to the reference; bf16 is "
+                             "the ~2x-throughput speed mode (see BASELINE.md "
+                             "for measured recall impact).")
     return parser
 
 
@@ -203,6 +215,7 @@ def _main_inner(args):
         quiet=args.quiet,
         graph_encoding_override=args.graph_encoding,
         seq_weight_override=args.seq_weight,
+        precision="highest" if args.precision == "f32" else "bf16",
     )
 
 

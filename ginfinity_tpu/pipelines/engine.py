@@ -106,8 +106,10 @@ class InferenceEngine:
         self.mesh = mesh
 
     @classmethod
-    def from_checkpoint(cls, path: str, **kw) -> "InferenceEngine":
+    def from_checkpoint(cls, path: str, precision: str = "highest", **kw) -> "InferenceEngine":
         config, params, state, _ = load_checkpoint(path)
+        if precision != "highest":
+            config = config.with_precision(precision)
         return cls(GINModel(config, params, state), **kw)
 
     @property

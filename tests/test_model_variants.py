@@ -60,6 +60,7 @@ class TestSet2Set:
         weights (gate order i,f,g,o; bias split ih/hh)."""
         import torch
 
+        import jax
         import jax.numpy as jnp
 
         from ginfinity_tpu.models.gine import _set2set
@@ -77,7 +78,7 @@ class TestSet2Set:
         x = rng.normal(size=(7, d)).astype(np.float32)
         g = build_graph_arrays("((.))..")  # 7 nodes
         b = batch_graphs([g], node_capacity=7, edge_capacity=g.n_edges, graph_capacity=1)
-        ours = np.asarray(_set2set(params, jnp.asarray(x), b))[:1]
+        ours = np.asarray(_set2set(params, jnp.asarray(x), b, jax.lax.Precision.HIGHEST))[:1]
 
         lstm = torch.nn.LSTM(2 * d, d, num_layers=1)
         with torch.no_grad():
@@ -174,3 +175,44 @@ class TestSeqWeight:
         assert g1.node_feat.shape[1] == 8
         np.testing.assert_allclose(g1.node_feat[0, :2], 0.6 * np.array([1.0, 0.0]))
         np.testing.assert_allclose(g1.node_feat[0, 4:], 0.4 * np.array([1, 0, 0, 0]))
+
+
+class TestPrecisionMode:
+    def test_bf16_config_plumbs_through(self, tmp_path):
+        """--precision bf16 must flow into GINConfig (a jit-key field) and
+        produce valid output; on CPU both precisions are exact f32, so
+        equality is expected here (the throughput/recall trade-off is
+        measured on TPU and recorded in BASELINE.md)."""
+        import numpy as np
+        import pandas as pd
+
+        from ginfinity_tpu.models.gine import GINConfig
+        from ginfinity_tpu.pipelines.embed import main
+
+        cfg = GINConfig.create(hidden_dim=8, output_dim=4)
+        assert cfg.matmul_precision == "highest"
+        assert cfg.with_precision("bf16").matmul_precision == "bf16"
+        assert "matmul_precision" not in cfg.to_metadata()
+        import pytest
+
+        with pytest.raises(ValueError):
+            cfg.with_precision("tf32")
+
+        mini = tmp_path / "mini.csv"
+        pd.read_csv("/root/reference/example_data/sample_dataset.csv").head(3).to_csv(
+            mini, index=False
+        )
+        outs = {}
+        for prec in ("f32", "bf16"):
+            out = tmp_path / f"emb_{prec}.tsv"
+            main([
+                "--input", str(mini), "--id-column", "rnacentral_id",
+                "--output", str(out), "--precision", prec, "--quiet",
+                "--model-path",
+                "/root/reference/src/ginfinity/weights/gin_weights_regression_180925.pth",
+            ])
+            df = pd.read_csv(out, sep="\t")
+            outs[prec] = np.array([
+                [float(x) for x in v.split(",")] for v in df["embedding_vector"]
+            ])
+        np.testing.assert_allclose(outs["f32"], outs["bf16"], atol=1e-6)
