@@ -114,15 +114,35 @@ def _pack_group(graphs: list[GraphArrays], graph_cap: int,
     return batch_graphs(graphs, n_cap, e_cap, graph_cap)
 
 
-def dataset_caps(items_nodes_edges: list[tuple[int, int]], batch_size: int) -> tuple[int, int]:
-    """Uniform (node, edge) capacities covering any batch_size-sized batch
-    of the dataset — required for stacking batches in data-parallel
-    training (every device batch must share one shape)."""
-    nodes = sorted((n for n, _ in items_nodes_edges), reverse=True)
-    edges = sorted((e for _, e in items_nodes_edges), reverse=True)
-    worst_n = sum(nodes[:batch_size])
-    worst_e = sum(edges[:batch_size])
-    return _round_capacity(max(1, worst_n)), _round_capacity(max(1, worst_e))
+def _triplet_batch(dataset: TripletDataset, idxs, g_cap: int,
+                   caps: tuple[int, int] | None) -> TripletBatch:
+    anchors = [dataset.items[i][0] for i in idxs]
+    pos = [dataset.items[i][1] for i in idxs]
+    neg = [dataset.items[i][2] for i in idxs]
+    mask = np.zeros(g_cap, np.float32)
+    mask[: len(idxs)] = 1.0
+    return TripletBatch(
+        anchor=_pack_group(anchors, g_cap, caps),
+        positive=_pack_group(pos, g_cap, caps),
+        negative=_pack_group(neg, g_cap, caps),
+        mask=jnp.asarray(mask),
+    )
+
+
+def _pair_batch(dataset: PairDataset, idxs, g_cap: int,
+                caps: tuple[int, int] | None) -> PairBatch:
+    anchors = [dataset.items[i][0] for i in idxs]
+    pos = [dataset.items[i][1] for i in idxs]
+    target = np.zeros(g_cap, np.float32)
+    target[: len(idxs)] = [dataset.targets[i] for i in idxs]
+    mask = np.zeros(g_cap, np.float32)
+    mask[: len(idxs)] = 1.0
+    return PairBatch(
+        anchor=_pack_group(anchors, g_cap, caps),
+        positive=_pack_group(pos, g_cap, caps),
+        target=jnp.asarray(target),
+        mask=jnp.asarray(mask),
+    )
 
 
 def iter_triplet_batches(
@@ -134,18 +154,7 @@ def iter_triplet_batches(
         rng.shuffle(order)
     g_cap = _round_capacity(batch_size)
     for s in range(0, len(order), batch_size):
-        idxs = order[s : s + batch_size]
-        anchors = [dataset.items[i][0] for i in idxs]
-        pos = [dataset.items[i][1] for i in idxs]
-        neg = [dataset.items[i][2] for i in idxs]
-        mask = np.zeros(g_cap, np.float32)
-        mask[: len(idxs)] = 1.0
-        yield TripletBatch(
-            anchor=_pack_group(anchors, g_cap, caps),
-            positive=_pack_group(pos, g_cap, caps),
-            negative=_pack_group(neg, g_cap, caps),
-            mask=jnp.asarray(mask),
-        )
+        yield _triplet_batch(dataset, order[s : s + batch_size], g_cap, caps)
 
 
 def iter_pair_batches(
@@ -157,19 +166,124 @@ def iter_pair_batches(
         rng.shuffle(order)
     g_cap = _round_capacity(batch_size)
     for s in range(0, len(order), batch_size):
-        idxs = order[s : s + batch_size]
-        anchors = [dataset.items[i][0] for i in idxs]
-        pos = [dataset.items[i][1] for i in idxs]
-        target = np.zeros(g_cap, np.float32)
-        target[: len(idxs)] = [dataset.targets[i] for i in idxs]
-        mask = np.zeros(g_cap, np.float32)
-        mask[: len(idxs)] = 1.0
-        yield PairBatch(
-            anchor=_pack_group(anchors, g_cap, caps),
-            positive=_pack_group(pos, g_cap, caps),
-            target=jnp.asarray(target),
-            mask=jnp.asarray(mask),
+        yield _pair_batch(dataset, order[s : s + batch_size], g_cap, caps)
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed data-parallel batch plans
+#
+# Data-parallel stacks need every device batch in a stack to share one
+# padded shape.  Sizing every batch to the dataset's global worst case
+# (the old dataset_caps approach) explodes padding on skewed length
+# distributions; instead items are shuffled, stably sorted by their
+# capacity-ladder bucket (so similar sizes land in the same stack while
+# order within a bucket stays random), and each stack of n_dev batches
+# gets ladder caps from ITS OWN maxima.  Remainder batches (< n_dev) are
+# yielded unstacked for a single-device step — nothing is dropped.
+# --------------------------------------------------------------------------
+
+
+def bucketed_batch_plan(
+    sizes, batch_size: int, n_dev: int, rng: np.random.Generator | None
+):
+    """Returns (stacks, leftovers): stacks = list of n_dev-long lists of
+    index arrays; leftovers = list of index arrays."""
+    n = len(sizes)
+    order = np.arange(n)
+    if rng is not None:
+        rng.shuffle(order)
+    buckets = np.array([_round_capacity(max(1, int(sizes[i]))) for i in order])
+    order = order[np.argsort(buckets, kind="stable")]
+    batches = [order[s : s + batch_size] for s in range(0, n, batch_size)]
+    n_full = (len(batches) // n_dev) * n_dev
+    stacks = [batches[s : s + n_dev] for s in range(0, n_full, n_dev)]
+    leftovers = batches[n_full:]
+    if rng is not None and stacks:
+        perm = rng.permutation(len(stacks))
+        stacks = [stacks[i] for i in perm]
+    return stacks, leftovers
+
+
+def _stack(batches):
+    import jax
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def iter_graph_pair_batches_dp(
+    dataset, batch_size: int, n_dev: int, rng: np.random.Generator | None,
+    build,
+) -> Iterator[tuple[Any, bool]]:
+    """Shared triplet/pair DP iterator: yields (batch, stacked) where
+    stacked batches carry a leading n_dev axis and per-stack ladder caps."""
+    sizes = [sum(g.n_nodes for g in t) for t in dataset.items]
+    g_cap = _round_capacity(batch_size)
+    stacks, leftovers = bucketed_batch_plan(sizes, batch_size, n_dev, rng)
+    for stack in stacks:
+        worst_n = max(sum(sum(g.n_nodes for g in dataset.items[i]) for i in idxs) for idxs in stack)
+        worst_e = max(sum(sum(g.n_edges for g in dataset.items[i]) for i in idxs) for idxs in stack)
+        caps = (_round_capacity(worst_n), _round_capacity(worst_e))
+        yield _stack([build(dataset, idxs, g_cap, caps) for idxs in stack]), True
+    for idxs in leftovers:
+        yield build(dataset, idxs, g_cap, None), False
+
+
+def iter_alignment_batches_dp(
+    dataset: AlignmentDataset,
+    batch_size: int,
+    max_unaligned_per_graph: int,
+    n_dev: int,
+    rng: np.random.Generator | None = None,
+    max_negatives: int | None = None,
+    hard_negative_fraction: float = 0.85,
+    debug_log=None,
+) -> Iterator[tuple[AlignmentBatch, bool]]:
+    """Length-bucketed DP iterator over alignment groups."""
+    per_group = []
+    for _, sts in dataset.groups:
+        nodes = sum(s.graph.n_nodes for s in sts)
+        edges = sum(s.graph.n_edges for s in sts)
+        subset = sum(
+            len(s.mapping) + min(max_unaligned_per_graph, len(s.unaligned)) for s in sts
         )
+        per_group.append((nodes, edges, len(sts), subset))
+    sizes = [t[0] for t in per_group]
+    stacks, leftovers = bucketed_batch_plan(sizes, batch_size, n_dev, rng)
+
+    def assemble(idxs, caps, g_cap, m_cap):
+        return assemble_alignment_batch(
+            [dataset.groups[i] for i in idxs],
+            max_unaligned_per_graph,
+            rng,
+            subset_capacity=m_cap,
+            caps=caps,
+            graph_capacity=g_cap,
+            max_negatives=max_negatives,
+            hard_negative_fraction=hard_negative_fraction,
+            debug_log=debug_log,
+        )
+
+    for stack in stacks:
+        worst = [
+            max(sum(per_group[i][d] for i in idxs) for idxs in stack)
+            for d in range(4)
+        ]
+        caps = (_round_capacity(worst[0]), _round_capacity(worst[1]))
+        g_cap = _round_capacity(worst[2])
+        m_cap = _round_capacity(worst[3])
+        built = [assemble(idxs, caps, g_cap, m_cap) for idxs in stack]
+        if any(b is None for b in built):
+            # rare: a batch with no usable nodes breaks the stack; run the
+            # valid ones single-device instead
+            for b in built:
+                if b is not None:
+                    yield b, False
+            continue
+        yield _stack(built), True
+    for idxs in leftovers:
+        b = assemble(idxs, None, None, None)
+        if b is not None:
+            yield b, False
 
 
 # --------------------------------------------------------------------------
@@ -485,29 +599,3 @@ def iter_alignment_batches(
             yield batch
 
 
-def alignment_dataset_caps(dataset: AlignmentDataset, batch_size: int,
-                           max_unaligned_per_graph: int):
-    """Uniform (node_cap, edge_cap, graph_cap, subset_cap) covering any
-    batch of alignment groups — for data-parallel stacking."""
-    per_group = []
-    for _, sts in dataset.groups:
-        nodes = sum(s.graph.n_nodes for s in sts)
-        edges = sum(s.graph.n_edges for s in sts)
-        subset = sum(
-            len(s.mapping) + min(max_unaligned_per_graph, len(s.unaligned)) for s in sts
-        )
-        per_group.append((nodes, edges, len(sts), subset))
-    per_group.sort(key=lambda t: -t[0])
-    worst_n = sum(t[0] for t in per_group[:batch_size])
-    per_group.sort(key=lambda t: -t[1])
-    worst_e = sum(t[1] for t in per_group[:batch_size])
-    per_group.sort(key=lambda t: -t[2])
-    worst_g = sum(t[2] for t in per_group[:batch_size])
-    per_group.sort(key=lambda t: -t[3])
-    worst_m = sum(t[3] for t in per_group[:batch_size])
-    return (
-        _round_capacity(max(1, worst_n)),
-        _round_capacity(max(1, worst_e)),
-        _round_capacity(max(1, worst_g)),
-        _round_capacity(max(1, worst_m)),
-    )

@@ -194,6 +194,118 @@ def prepare_dataset(args, dataset_path: str, alignment_map_path):
 
 
 # --------------------------------------------------------------------------
+# Per-epoch alignment diagnostics (train_model.py:87-310 semantics,
+# in-process instead of subprocess: same dataset resolution, same per-epoch
+# similarity-matrix PNGs under <output>/similarity_matrices/)
+# --------------------------------------------------------------------------
+
+
+def resolve_diagnostic_dataset_path() -> str:
+    env_override = os.environ.get("GINFINITY_DIAGNOSTIC_ALIGNMENT_PATH")
+    if env_override:
+        return os.path.abspath(os.path.expanduser(env_override))
+    return os.path.abspath(os.path.join(os.getcwd(), "dev", "terts.csv"))
+
+
+def setup_diagnostic_alignment_context(cfg, log_path: str, output_dir: str):
+    """Returns a context with precomputed graph batches for the first two
+    diagnostic structures plus a jitted node-embedding fn, or None when
+    diagnostics are unavailable (missing/invalid dataset — logged and
+    skipped, as in the reference)."""
+    import pandas as pd
+
+    dataset_path = resolve_diagnostic_dataset_path()
+    if not os.path.exists(dataset_path):
+        log_information(log_path, {"status": "missing_dataset", "path": dataset_path},
+                        "diagnostic_alignment_setup")
+        print(f"[diagnostic-alignment] Dataset not found at {dataset_path}; skipping diagnostics.")
+        return None
+    try:
+        df = pd.read_csv(dataset_path)
+    except Exception as exc:
+        log_information(log_path, {"status": "read_error", "path": dataset_path, "error": str(exc)},
+                        "diagnostic_alignment_setup")
+        print(f"[diagnostic-alignment] Failed to read {dataset_path}: {exc}")
+        return None
+    missing = {"Name", "DotBracket"} - set(df.columns)
+    if missing:
+        log_information(log_path, {"status": "missing_columns", "path": dataset_path,
+                                   "missing": ",".join(sorted(missing))},
+                        "diagnostic_alignment_setup")
+        print(f"[diagnostic-alignment] Required columns {missing} not found in {dataset_path}; skipping diagnostics.")
+        return None
+    if len(df) < 2:
+        log_information(log_path, {"status": "insufficient_rows", "path": dataset_path, "rows": len(df)},
+                        "diagnostic_alignment_setup")
+        print(f"[diagnostic-alignment] Expected at least two sequences in {dataset_path}; skipping diagnostics.")
+        return None
+
+    import jax
+
+    from ginfinity_tpu.graphs.batching import batch_graphs
+    from ginfinity_tpu.graphs.build import build_graph_arrays
+    from ginfinity_tpu.models.gine import get_node_embeddings
+
+    batches = []
+    names = []
+    n_nodes = []
+    for k in range(2):
+        row = df.iloc[k]
+        seq = row.get("seq")
+        g = build_graph_arrays(
+            str(row["DotBracket"]),
+            seq if isinstance(seq, str) else None,
+            seq_weight=cfg.seq_weight,
+            graph_encoding=cfg.graph_encoding,
+            feature_dim=cfg.node_feature_dim,
+        )
+        batches.append(batch_graphs([g]))
+        names.append(str(row["Name"]))
+        n_nodes.append(g.n_base_nodes)  # drop forgi meta-nodes, as in C7
+
+    node_fn = jax.jit(
+        lambda p, s, b: get_node_embeddings(cfg, p, s, b, apply_norm=True)[0]
+    )
+    similarity_dir = os.path.join(output_dir, "similarity_matrices")
+    log_information(log_path, {
+        "status": "ready", "dataset": dataset_path,
+        "rna1": names[0], "rna2": names[1], "output_dir": similarity_dir,
+    }, "diagnostic_alignment_setup")
+    return {
+        "batches": batches, "names": names, "n_nodes": n_nodes,
+        "node_fn": node_fn, "similarity_dir": similarity_dir,
+        "dataset": dataset_path,
+    }
+
+
+def run_alignment_diagnostics(ctx, params, model_state, epoch_index: int, log_path: str):
+    """One epoch's diagnostic: node embeddings of the two structures with
+    the CURRENT weights -> cosine similarity matrix -> PNG.  Failures are
+    logged and training continues (train_model.py:233-245)."""
+    import numpy as np
+
+    from ginfinity_tpu.pipelines.align import cosine_similarity_matrix, save_matrix_png
+
+    try:
+        embs = [
+            np.asarray(ctx["node_fn"](params, model_state, b))[:n]
+            for b, n in zip(ctx["batches"], ctx["n_nodes"])
+        ]
+        sim = cosine_similarity_matrix(embs[0], embs[1])
+        os.makedirs(ctx["similarity_dir"], exist_ok=True)
+        destination = os.path.join(ctx["similarity_dir"], f"epoch_{epoch_index:03d}.png")
+        save_matrix_png(sim, destination,
+                        title=f"Epoch {epoch_index}: {ctx['names'][0]} vs {ctx['names'][1]}")
+        log_information(log_path, {"epoch": epoch_index, "png": destination,
+                                   "dataset": ctx["dataset"]}, "diagnostic_alignment")
+        print(f"[diagnostic-alignment] Saved similarity matrix for epoch {epoch_index} to {destination}")
+    except Exception as exc:
+        log_information(log_path, {"epoch": epoch_index, "error": str(exc)},
+                        "diagnostic_alignment_error")
+        print(f"[diagnostic-alignment] failed for epoch {epoch_index}: {exc}")
+
+
+# --------------------------------------------------------------------------
 # One training run (one schedule round or the single-run mode)
 # --------------------------------------------------------------------------
 
@@ -229,33 +341,27 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
         mesh = make_data_mesh()
         print(f"[train] data parallel over {mesh.devices.size} devices")
 
+    n_dev = mesh.devices.size if mesh is not None else 1
+
     if mode == "triplet":
         train_ds = D.TripletDataset(train_df, args.graph_encoding, args.seq_weight)
         val_ds = D.TripletDataset(val_df, args.graph_encoding, args.seq_weight)
         loss_fn = triplet_loss_fn(margin=1.0)
-        caps = None
-        if use_dp:
-            ne = [
-                (sum(g.n_nodes for g in t), sum(g.n_edges for g in t))
-                for t in train_ds.items + val_ds.items
-            ]
-            caps = D.dataset_caps(ne, args.batch_size)
-        make_iter = lambda ds, shuffle, c=caps: D.iter_triplet_batches(
-            ds, args.batch_size, rng_np if shuffle else None, caps=c
+        make_iter = lambda ds, shuffle: D.iter_triplet_batches(
+            ds, args.batch_size, rng_np if shuffle else None
+        )
+        make_dp_iter = lambda ds, shuffle: D.iter_graph_pair_batches_dp(
+            ds, args.batch_size, n_dev, rng_np if shuffle else None, D._triplet_batch
         )
     elif mode == "regression":
         train_ds = D.PairDataset(train_df, args.graph_encoding, args.seq_weight)
         val_ds = D.PairDataset(val_df, args.graph_encoding, args.seq_weight)
         loss_fn = regression_loss_fn()
-        caps = None
-        if use_dp:
-            ne = [
-                (sum(g.n_nodes for g in t), sum(g.n_edges for g in t))
-                for t in train_ds.items + val_ds.items
-            ]
-            caps = D.dataset_caps(ne, args.batch_size)
-        make_iter = lambda ds, shuffle, c=caps: D.iter_pair_batches(
-            ds, args.batch_size, rng_np if shuffle else None, caps=c
+        make_iter = lambda ds, shuffle: D.iter_pair_batches(
+            ds, args.batch_size, rng_np if shuffle else None
+        )
+        make_dp_iter = lambda ds, shuffle: D.iter_graph_pair_batches_dp(
+            ds, args.batch_size, n_dev, rng_np if shuffle else None, D._pair_batch
         )
     else:
         train_ds = D.AlignmentDataset(
@@ -284,43 +390,54 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
             if args.debug
             else None
         )
-        caps = subset_cap = graph_cap = None
-        if use_dp:
-            nc, ec, graph_cap, subset_cap = D.alignment_dataset_caps(
-                D.AlignmentDataset(  # caps over both splits
-                    __import__("pandas").concat([train_df, val_df]),
-                    alignment_map, args.graph_encoding, args.seq_weight,
-                    args.structure_column,
-                ),
-                args.batch_size, max_unaligned,
-            )
-            caps = (nc, ec)
-        make_iter = lambda ds, shuffle, c=caps, sc=subset_cap, gc=graph_cap: (
-            D.iter_alignment_batches(
-                ds, args.batch_size, max_unaligned, rng_np if shuffle else None,
-                subset_capacity=sc, caps=c, graph_capacity=gc,
-                max_negatives=max_negatives, hard_negative_fraction=hard_frac,
-                debug_log=debug_log,
-            )
+        make_iter = lambda ds, shuffle: D.iter_alignment_batches(
+            ds, args.batch_size, max_unaligned, rng_np if shuffle else None,
+            max_negatives=max_negatives, hard_negative_fraction=hard_frac,
+            debug_log=debug_log,
+        )
+        make_dp_iter = lambda ds, shuffle: D.iter_alignment_batches_dp(
+            ds, args.batch_size, max_unaligned, n_dev,
+            rng_np if shuffle else None,
+            max_negatives=max_negatives, hard_negative_fraction=hard_frac,
+            debug_log=debug_log,
         )
 
     optimizer = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     ts = TrainState.create(params, state, optimizer)
     train_step = make_train_step(cfg, optimizer, loss_fn, mesh=mesh)
-    eval_step = make_eval_step(cfg, loss_fn)
+    eval_step = make_eval_step(cfg, loss_fn, mesh=mesh)
+    # leftover (< n_dev) batches run on one device — nothing is dropped
+    train_step_single = (
+        make_train_step(cfg, optimizer, loss_fn) if mesh is not None else train_step
+    )
+    eval_step_single = make_eval_step(cfg, loss_fn) if mesh is not None else eval_step
     key = jax.random.PRNGKey(args.seed)
 
+    def iter_annotated(ds, shuffle):
+        """Yields (batch, stacked) pairs in both modes."""
+        if mesh is None:
+            return ((b, False) for b in make_iter(ds, shuffle))
+        return make_dp_iter(ds, shuffle)
+
     def avg_loss(ds, max_fraction=None, desc=None):
-        batches = list(make_iter(ds, shuffle=False))
+        batches = list(iter_annotated(ds, shuffle=False))
         if max_fraction is not None and math.isfinite(max_fraction):
             limit = min(len(batches), max(1, math.ceil(len(batches) * max_fraction)))
             batches = batches[:limit]
         if not batches:
             return float("nan")
         total = 0.0
-        for b in batches:
-            total += float(eval_step(ts, b, None))
-        return total / len(batches)
+        cnt = 0
+        for b, stacked in batches:
+            if stacked:
+                # pmean over n_dev device batches -> weight by n_dev so the
+                # result is the plain mean over all batches
+                total += float(eval_step(ts, b, None)) * n_dev
+                cnt += n_dev
+            else:
+                total += float(eval_step_single(ts, b, None))
+                cnt += 1
+        return total / cnt
 
     initial_train = avg_loss(train_ds, args.initial_eval_fraction)
     initial_val = avg_loss(val_ds, args.initial_eval_fraction)
@@ -338,70 +455,123 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
         "Validation Loss": initial_val,
     })
 
+    diag_ctx = (
+        setup_diagnostic_alignment_context(cfg, log_path, os.path.dirname(log_path))
+        if getattr(args, "diagnostic_alignment", False)
+        else None
+    )
+    if diag_ctx is not None:
+        run_alignment_diagnostics(diag_ctx, ts.params, ts.model_state, 0, log_path)
+
     current_lr = lr
     last_epoch = -1
-    dropped_note = False
-    for epoch in range(num_epochs):
-        last_epoch = epoch
-        running = 0.0
-        nb = 0
-        if mesh is None:
-            for b in make_iter(train_ds, shuffle=True):
+    leftover_note = False
+    interrupted = False
+    try:
+        for epoch in range(num_epochs):
+            last_epoch = epoch
+            running = 0.0
+            nb = 0
+            n_leftover = 0
+            for b, stacked in iter_annotated(train_ds, shuffle=True):
                 key, sub = jax.random.split(key)
-                ts, loss = train_step(ts, b, sub)
-                running += float(loss)
-                nb += 1
-        else:
-            import jax.numpy as jnp
-
-            group = []
-            for b in make_iter(train_ds, shuffle=True):
-                group.append(b)
-                if len(group) == mesh.devices.size:
-                    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
-                    key, sub = jax.random.split(key)
-                    ts, loss = train_step(ts, stacked, sub)
+                if stacked:
+                    ts, loss = train_step(ts, b, sub)
+                    running += float(loss) * n_dev
+                    nb += n_dev
+                else:
+                    ts, loss = train_step_single(ts, b, sub)
                     running += float(loss)
                     nb += 1
-                    group = []
-            if group and not dropped_note:
-                print(f"[train] dropping {len(group)} remainder batch(es) per epoch "
-                      f"(device count {mesh.devices.size})")
-                dropped_note = True
-        avg_train = running / max(nb, 1)
+                    n_leftover += 1
+            if mesh is not None and n_leftover and not leftover_note:
+                print(f"[train] {n_leftover}/{nb} batch(es) per epoch run "
+                      f"single-device (remainder of the {n_dev}-way stacks)")
+                leftover_note = True
+            avg_train = running / max(nb, 1)
 
-        # per-epoch multiplicative LR decay (train_model.py:1179-1180)
-        current_lr *= decay_rate
-        import jax.numpy as jnp
+            # per-epoch multiplicative LR decay (train_model.py:1179-1180)
+            current_lr *= decay_rate
+            import jax.numpy as jnp
 
-        ts = ts.replace(
-            opt_state=ts.opt_state._replace(
-                hyperparams={
-                    **ts.opt_state.hyperparams,
-                    "learning_rate": jnp.asarray(current_lr, jnp.float32),
-                }
+            ts = ts.replace(
+                opt_state=ts.opt_state._replace(
+                    hyperparams={
+                        **ts.opt_state.hyperparams,
+                        "learning_rate": jnp.asarray(current_lr, jnp.float32),
+                    }
+                )
             )
-        )
 
-        avg_val = avg_loss(val_ds)
-        train_losses.append(avg_train)
-        val_losses.append(avg_val)
-        if avg_val < best_val:
-            best_val = avg_val
-            best_epoch = epoch
-        early(avg_val, ts)
-        log_information(log_path, {
-            "Epoch": f"{epoch + 1}/{num_epochs}",
-            "Training Loss": avg_train,
-            "Validation Loss": avg_val,
-            "Best Validation Loss": best_val,
-            "Early Stopping Counter": f"{early.counter}/{patience}",
-            "Learning Rate": current_lr,
-        })
-        print(f"Epoch {epoch + 1}/{num_epochs}, Training Loss: {avg_train}, Validation Loss: {avg_val}")
-        if early.early_stop:
-            print("Early stopping")
-            break
+            avg_val = avg_loss(val_ds)
+            train_losses.append(avg_train)
+            val_losses.append(avg_val)
+            if avg_val < best_val:
+                best_val = avg_val
+                best_epoch = epoch
+                # reference: diagnostics after each NEW BEST val loss
+                # (train_model.py:1195-1206)
+                if diag_ctx is not None:
+                    run_alignment_diagnostics(
+                        diag_ctx, ts.params, ts.model_state, epoch + 1, log_path
+                    )
+            early(avg_val, ts)
+            log_information(log_path, {
+                "Epoch": f"{epoch + 1}/{num_epochs}",
+                "Training Loss": avg_train,
+                "Validation Loss": avg_val,
+                "Best Validation Loss": best_val,
+                "Early Stopping Counter": f"{early.counter}/{patience}",
+                "Learning Rate": current_lr,
+            })
+            print(f"Epoch {epoch + 1}/{num_epochs}, Training Loss: {avg_train}, Validation Loss: {avg_val}")
+            if early.early_stop:
+                print("Early stopping")
+                break
+    except KeyboardInterrupt:
+        print("\nTraining interrupted by user.")
+        interrupted = True
+
+    if interrupted:
+        # interactive best-weights save (train_model.py:1228-1273)
+        log_information(log_path, {"Training finished": "Interrupted by user"})
+        saved = False
+        epoch_for_save = max(best_epoch, 0)
+        if early.best_params is not None:
+            while True:
+                try:
+                    response = input(
+                        "Do you want to save the model with the best weights? [y/n]: "
+                    ).strip().lower()
+                except EOFError:
+                    response = "n"
+                except KeyboardInterrupt:
+                    print("\nSkipping save of best weights.")
+                    response = "n"
+                if response in ("y", "yes"):
+                    ts = ts.replace(params=early.best_params, model_state=early.best_model_state)
+                    os.makedirs(os.path.dirname(checkpoint_path) or ".", exist_ok=True)
+                    export_torch_checkpoint(
+                        checkpoint_path, cfg, ts.params, ts.model_state, epoch=epoch_for_save
+                    )
+                    log_information(log_path, {"Best weights saved after interrupt": True})
+                    saved = True
+                    break
+                if response in ("n", "no", ""):
+                    print("Best weights were not saved.")
+                    log_information(log_path, {"Best weights saved after interrupt": False})
+                    break
+                print("Please respond with 'y' or 'n'.")
+        else:
+            print("No best weights available to save.")
+        _plot_loss_curves(train_losses, val_losses, os.path.dirname(log_path), log_path,
+                          epoch_for_save + 1 if saved else None)
+        return {
+            "checkpoint_path": checkpoint_path if saved else None,
+            "params": ts.params,
+            "model_state": ts.model_state,
+            "interrupted": True,
+        }
 
     # restore best weights (train_model.py:1279-1283)
     epoch_for_save = max(last_epoch, 0)
@@ -480,6 +650,17 @@ def build_parser():
     parser.add_argument("--debug", action="store_true", default=False,
                         help="Log per-batch alignment-loss assembly events "
                              "(negative subsampling stats) to the run log.")
+    # reference flag (typo included, train_model.py:1336-1348): after each
+    # new best validation loss, align the first two structures of the
+    # diagnostic dataset (env GINFINITY_DIAGNOSTIC_ALIGNMENT_PATH or
+    # dev/terts.csv) and save the similarity-matrix PNG
+    parser.add_argument("--diagnostic-aligment", dest="diagnostic_alignment",
+                        action="store_true", default=False,
+                        help="After each new best validation loss, run "
+                             "alignment diagnostics and save the similarity "
+                             "matrix PNG.")
+    parser.add_argument("--diagnostic-alignment", dest="diagnostic_alignment",
+                        action="store_true", help=argparse.SUPPRESS)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--training_mode", choices=["triplet", "regression", "alignment"], default="triplet")
     parser.add_argument("--seq_weight", type=float, default=0.0)
@@ -639,6 +820,9 @@ def main(argv=None):
         )
         params = outcome["params"]
         state = outcome["model_state"]
+        if outcome.get("interrupted"):
+            print(f"Schedule interrupted during round {rcfg['round']}.")
+            return
         print(f"Finished round {rcfg['round']}.")
 
         pending_ckpt = outcome["checkpoint_path"]

@@ -310,6 +310,93 @@ class TestTrainCLI:
         assert len(losses) >= 3
         assert losses[-1] < losses[0], losses
 
+    def test_interrupt_saves_best_weights(self, triplet_tsv, tmp_path, monkeypatch):
+        """Ctrl-C mid-training must offer to save the best weights and
+        write the .pth on 'y' (train_model.py:1228-1273)."""
+        import builtins
+
+        from ginfinity_tpu.training import train_cli
+        from ginfinity_tpu.training.train import EarlyStopping
+
+        monkeypatch.chdir(tmp_path)
+        calls = {"n": 0}
+        orig = EarlyStopping.__call__
+
+        def interrupting(self, val, ts):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise KeyboardInterrupt
+            return orig(self, val, ts)
+
+        monkeypatch.setattr(EarlyStopping, "__call__", interrupting)
+        monkeypatch.setattr(builtins, "input", lambda *a: "y")
+        train_cli.main([
+            "--input_path", triplet_tsv, "--model_id", "intr",
+            "--training_mode", "triplet", "--hidden_dim", "8",
+            "--gin_layers", "1", "--output_dim", "4",
+            "--batch_size", "8", "--num_epochs", "50", "--lr", "0.01",
+            "--decay_rate", "1.0", "--val_fraction", "0.25",
+        ])
+        ckpt = tmp_path / "output" / "intr" / "intr.pth"
+        assert ckpt.exists()
+        log = (tmp_path / "output" / "intr" / "train.log").read_text()
+        assert "Interrupted by user" in log
+        assert "Best weights saved after interrupt: True" in log
+        from ginfinity_tpu.models.checkpoint import import_torch_checkpoint
+
+        cfg, params, state, extra = import_torch_checkpoint(str(ckpt))
+        assert cfg.hidden_dims == (8,)
+
+    def test_interrupt_decline_save(self, triplet_tsv, tmp_path, monkeypatch):
+        import builtins
+
+        from ginfinity_tpu.training import train_cli
+        from ginfinity_tpu.training.train import EarlyStopping
+
+        monkeypatch.chdir(tmp_path)
+
+        def interrupting(self, val, ts):
+            raise KeyboardInterrupt
+
+        monkeypatch.setattr(EarlyStopping, "__call__", interrupting)
+        monkeypatch.setattr(builtins, "input", lambda *a: "n")
+        train_cli.main([
+            "--input_path", triplet_tsv, "--model_id", "intr2",
+            "--training_mode", "triplet", "--hidden_dim", "8",
+            "--gin_layers", "1", "--output_dim", "4",
+            "--batch_size", "8", "--num_epochs", "50", "--lr", "0.01",
+            "--decay_rate", "1.0", "--val_fraction", "0.25",
+        ])
+        assert not (tmp_path / "output" / "intr2" / "intr2.pth").exists()
+        log = (tmp_path / "output" / "intr2" / "train.log").read_text()
+        assert "Best weights saved after interrupt: False" in log
+
+    def test_diagnostic_alignment_pngs(self, triplet_tsv, tmp_path, monkeypatch):
+        """--diagnostic-aligment writes epoch_NNN.png similarity matrices
+        for the env-pointed dataset (train_model.py:87-310, in-process)."""
+        import pandas as pd
+
+        from ginfinity_tpu.training import train_cli
+
+        monkeypatch.chdir(tmp_path)
+        diag = tmp_path / "diag.csv"
+        pd.DataFrame({
+            "Name": ["a", "b"],
+            "DotBracket": ["((((....))))", "((....))(...)"],
+        }).to_csv(diag, index=False)
+        monkeypatch.setenv("GINFINITY_DIAGNOSTIC_ALIGNMENT_PATH", str(diag))
+        train_cli.main([
+            "--input_path", triplet_tsv, "--model_id", "dg",
+            "--training_mode", "triplet", "--hidden_dim", "8",
+            "--gin_layers", "1", "--output_dim", "4",
+            "--batch_size", "8", "--num_epochs", "2", "--lr", "0.01",
+            "--decay_rate", "1.0", "--val_fraction", "0.25",
+            "--diagnostic-aligment",
+        ])
+        sim_dir = tmp_path / "output" / "dg" / "similarity_matrices"
+        pngs = sorted(p.name for p in sim_dir.glob("epoch_*.png"))
+        assert "epoch_000.png" in pngs  # initial diagnostics always run
+
     def test_schedule_mode(self, alignment_data, tmp_path, monkeypatch):
         from ginfinity_tpu.training.train_cli import main
 
