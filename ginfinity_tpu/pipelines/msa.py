@@ -17,7 +17,9 @@ ProbCons-style pipeline; same stages, flags, and output files):
 7. guide tree (NJ / UPGMA) from 1 - mean(P) distances
 8. progressive profile-profile alignment (device wavefront DP, reference
    scoring: struct dot + 0.2 stem-compat bonus, optional dual modality)
-9. refinement hook (placeholder, as in the reference)
+9. iterative refinement — REAL split-and-realign keeping sum-of-pairs
+   improvements (the reference's hook is an explicit no-op placeholder,
+   embed_msa.py:1149-1164; this is a capability the reference lacks)
 10. FASTA / Stockholm / TSV outputs + diagnostics JSON/heatmaps
 """
 
@@ -546,6 +548,142 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0) -> P
 
 
 # ==========================================================================
+# Iterative refinement — REAL split-and-realign.
+#
+# The reference's refinement is an explicit placeholder: it scores the
+# alignment but never perturbs it (embed_msa.py:1149-1164, "No change for
+# now").  Here --refine-iters actually refines: each iteration bipartitions
+# the sequences at random, extracts the two sub-alignments (dropping
+# all-gap columns), re-aligns them with the profile DP, and keeps the
+# result iff the sum-of-pairs score improves.
+# ==========================================================================
+
+
+def _column_positions(profile: Profile) -> tuple[np.ndarray, np.ndarray]:
+    """Per (member, column): the member's residue index, -1 at gaps.
+    Returns (members array, pos [n_members, n_cols])."""
+    members = np.asarray(profile.member_indices)
+    n_cols = len(profile.stem)
+    pos = np.full((members.size, n_cols), -1, np.int64)
+    for r, idx in enumerate(profile.member_indices):
+        chars = profile.aligned_chars[idx]
+        p = 0
+        for c in range(min(n_cols, len(chars))):
+            if chars[c] != "-":
+                pos[r, c] = p
+                p += 1
+    return members, pos
+
+
+def sp_score(profile: Profile, seq_profiles: list[Profile],
+             beta_struct: float = 0.2) -> float:
+    """Sum-of-pairs alignment score over the ORIGINAL per-sequence
+    embeddings: for every column and every pair of members both present,
+    dot(e_i, e_j) plus ``beta_struct`` when their stem flags agree — the
+    same scoring convention as the profile DP (embed_msa.py:874-930).
+    Computed with the sum-of-squares identity, no pair loop."""
+    members, pos = _column_positions(profile)
+    if members.size < 2 or pos.shape[1] == 0:
+        return 0.0
+    d = seq_profiles[int(members[0])].mu_struct.shape[1]
+    present = pos >= 0
+    E = np.zeros((members.size, pos.shape[1], d), np.float32)
+    stem = np.zeros_like(pos, np.float32)
+    for r, idx in enumerate(members):
+        sp = seq_profiles[int(idx)]
+        p = pos[r][present[r]]
+        E[r, present[r]] = sp.mu_struct[p]
+        stem[r][present[r]] = sp.stem[p]
+    # sum over pairs of dots = (||sum||^2 - sum ||.||^2) / 2, per column
+    s = E.sum(axis=0)  # [C, d]
+    dot_total = 0.5 * float(
+        (s * s).sum() - (E * E).sum()
+    )
+    n_stem = ((stem >= 0.5) & present).sum(axis=0).astype(np.float64)
+    n_un = ((stem < 0.5) & present).sum(axis=0).astype(np.float64)
+    agree_pairs = (n_stem * (n_stem - 1) + n_un * (n_un - 1)) / 2.0
+    return dot_total + beta_struct * float(agree_pairs.sum())
+
+
+def extract_subprofile(profile: Profile, members: list[int],
+                       seq_profiles: list[Profile]) -> Profile:
+    """Sub-alignment restricted to ``members``: drop columns where every
+    member is gapped, rebuild column means/stems from the original
+    per-sequence embeddings."""
+    all_members, pos = _column_positions(profile)
+    rows = [list(all_members).index(m) for m in members]
+    sub = pos[rows]
+    keep = (sub >= 0).any(axis=0)
+    sub = sub[:, keep]
+    n_cols = sub.shape[1]
+    d = seq_profiles[int(members[0])].mu_struct.shape[1]
+    base_dim = next(
+        (seq_profiles[m].mu_base.shape[1] for m in members
+         if seq_profiles[m].mu_base is not None), 0
+    )
+    mu_s = np.zeros((n_cols, d), np.float32)
+    mu_b = np.zeros((n_cols, base_dim), np.float32) if base_dim else None
+    stem_acc = np.zeros(n_cols, np.float32)
+    cnt = np.zeros(n_cols, np.float32)
+    aligned = {}
+    for r, m in enumerate(members):
+        spf = seq_profiles[int(m)]
+        pres = sub[r] >= 0
+        p = sub[r][pres]
+        mu_s[pres] += spf.mu_struct[p]
+        if base_dim and spf.mu_base is not None:
+            mu_b[pres] += spf.mu_base[p]
+        stem_acc[pres] += spf.stem[p]
+        cnt[pres] += 1.0
+        chars = []
+        src = profile.aligned_chars[m]
+        for c_idx, kept in enumerate(keep):
+            if kept:
+                chars.append(src[c_idx] if c_idx < len(src) else "-")
+        aligned[m] = chars
+    mu_s = mu_s / np.maximum(np.linalg.norm(mu_s, axis=1, keepdims=True), 1e-8)
+    if mu_b is not None:
+        mu_b = mu_b / np.maximum(np.linalg.norm(mu_b, axis=1, keepdims=True), 1e-8)
+    stem = stem_acc / np.maximum(cnt, 1.0)
+    return Profile(mu_s, mu_b, stem, list(members), aligned)
+
+
+def iterative_refinement(
+    aln: Profile,
+    seq_profiles: list[Profile],
+    iters: int,
+    rng: np.random.Generator,
+    gap_open: float,
+    gap_extend: float,
+    seq_weight: float = 0.0,
+) -> tuple[Profile, dict]:
+    """Split-and-realign refinement; returns (best alignment, stats)."""
+    best = aln
+    best_score = sp_score(best, seq_profiles)
+    stats = {"sp_initial": best_score, "accepted": 0, "iters": max(0, int(iters))}
+    members = list(aln.member_indices)
+    if iters <= 0 or len(members) < 3:
+        stats["sp_final"] = best_score
+        return best, stats
+    for _ in range(int(iters)):
+        k = int(rng.integers(1, len(members)))
+        side = set(rng.choice(np.asarray(members), size=k, replace=False).tolist())
+        part_a = [m for m in best.member_indices if m in side]
+        part_b = [m for m in best.member_indices if m not in side]
+        if not part_a or not part_b:
+            continue
+        A = extract_subprofile(best, part_a, seq_profiles)
+        B = extract_subprofile(best, part_b, seq_profiles)
+        cand = merge_profiles(A, B, gap_open, gap_extend, seq_weight)
+        sc = sp_score(cand, seq_profiles)
+        if sc > best_score:
+            best, best_score = cand, sc
+            stats["accepted"] += 1
+    stats["sp_final"] = best_score
+    return best, stats
+
+
+# ==========================================================================
 # Outputs (embed_msa.py:1171-1240)
 # ==========================================================================
 
@@ -752,7 +890,13 @@ def main(argv=None):
     profiles = initial_profiles(records)
     aln = msa_from_tree(tree, profiles, args.gap_open, args.gap_extend,
                         seq_weight=float(args.seq_weight))
-    # refinement hook (placeholder in the reference too, embed_msa.py:1149-1164)
+    refine_stats = None
+    if args.refine_iters > 0 and N >= 3:
+        print(f"Refining for {args.refine_iters} iteration(s)...")
+        aln, refine_stats = iterative_refinement(
+            aln, profiles, args.refine_iters, np.random.default_rng(args.seed),
+            args.gap_open, args.gap_extend, seq_weight=float(args.seq_weight),
+        )
 
     diagnostics: dict[str, Any] = {
         "expected_scores": expected_scores.tolist(),
@@ -775,6 +919,8 @@ def main(argv=None):
     }
     if args.plot_diagnostics and heatmaps:
         diagnostics["posteriors_heatmaps"] = heatmaps
+    if refine_stats is not None:
+        diagnostics["refinement"] = refine_stats
     if args.use_center is not None and trim_bounds is not None:
         diagnostics["use_center_fraction"] = float(args.use_center)
         diagnostics["center_trim_bounds"] = [[int(s_), int(e)] for s_, e in trim_bounds]

@@ -206,6 +206,126 @@ class TestGuideTree:
         assert dt < 1.0, f"{method} took {dt:.2f}s"
 
 
+class TestRefinement:
+    @staticmethod
+    def _toy_profiles(rng, n_seq=4, L=12, d=8):
+        from ginfinity_tpu.pipelines.msa import SequenceRecord, initial_profiles
+
+        base = rng.normal(size=(L, d)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        records = []
+        for k in range(n_seq):
+            emb = base + 0.05 * rng.normal(size=base.shape).astype(np.float32)
+            emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+            records.append(SequenceRecord(f"s{k}", emb, dotbracket="((" + "." * (L - 4) + "))"))
+            records[-1].paired_idx = None
+        return initial_profiles(records)
+
+    def test_extract_subprofile_roundtrip(self):
+        from ginfinity_tpu.pipelines.msa import (
+            extract_subprofile,
+            merge_profiles,
+        )
+
+        rng = np.random.default_rng(0)
+        profs = self._toy_profiles(rng)
+        aln = merge_profiles(
+            merge_profiles(profs[0], profs[1], -4.0, -0.5),
+            merge_profiles(profs[2], profs[3], -4.0, -0.5),
+            -4.0, -0.5,
+        )
+        sub = extract_subprofile(aln, list(aln.member_indices), profs)
+        # extracting ALL members keeps every column and all aligned strings
+        assert len(sub.stem) == len(aln.stem)
+        for m in aln.member_indices:
+            assert sub.aligned_chars[m] == aln.aligned_chars[m]
+        # extracting one member yields its ungapped sequence
+        solo = extract_subprofile(aln, [0], profs)
+        assert all(c != "-" for c in solo.aligned_chars[0])
+        assert len(solo.aligned_chars[0]) == profs[0].mu_struct.shape[0]
+
+    def test_sp_score_prefers_correct_alignment(self):
+        from ginfinity_tpu.pipelines.msa import merge_profiles, sp_score
+
+        rng = np.random.default_rng(1)
+        profs = self._toy_profiles(rng, n_seq=2)
+        good = merge_profiles(profs[0], profs[1], -4.0, -0.5)
+        # a deliberately shifted "bad" alignment: gap the head of one side
+        bad = merge_profiles(profs[0], profs[1], 100.0, 100.0)  # gap-free forced
+        assert sp_score(good, profs) >= sp_score(bad, profs) - 1e-6
+        # degenerate cases
+        assert sp_score(profs[0], profs) == 0.0
+
+    def test_refinement_never_degrades_and_can_improve(self):
+        from ginfinity_tpu.pipelines.msa import (
+            iterative_refinement,
+            merge_profiles,
+            sp_score,
+        )
+
+        rng = np.random.default_rng(2)
+        profs = self._toy_profiles(rng, n_seq=5, L=14)
+        # build a poor starting alignment: harsh gap params force a bad
+        # greedy merge order
+        aln = profs[0]
+        for p in profs[1:]:
+            aln = merge_profiles(aln, p, -0.1, -0.1)
+        s0 = sp_score(aln, profs)
+        refined, stats = iterative_refinement(
+            aln, profs, 10, np.random.default_rng(3), -4.0, -0.5
+        )
+        s1 = sp_score(refined, profs)
+        assert s1 >= s0 - 1e-6
+        assert stats["sp_final"] >= stats["sp_initial"] - 1e-6
+        # every sequence still present, equal-length rows
+        lens = {len("".join(refined.aligned_chars[m])) for m in refined.member_indices}
+        assert len(lens) == 1
+        assert sorted(refined.member_indices) == sorted(aln.member_indices)
+
+    def test_refinement_repairs_a_shifted_alignment(self):
+        """A hand-misaligned start (one sequence shifted by 3 columns)
+        must be repaired: SP score rises, the alignment compacts back to
+        the ungapped width."""
+        from ginfinity_tpu.pipelines.msa import (
+            Profile,
+            extract_subprofile,
+            iterative_refinement,
+            sp_score,
+        )
+
+        rng = np.random.default_rng(5)
+        profs = self._toy_profiles(rng, n_seq=4, L=16)
+        L, d = profs[0].mu_struct.shape
+        n_cols = L + 3
+        aligned = {}
+        for m in range(4):
+            chars = profs[m].aligned_chars[m]
+            aligned[m] = (["-"] * 3 + list(chars)) if m == 1 else (list(chars) + ["-"] * 3)
+        bad = Profile(np.zeros((n_cols, d), np.float32), None,
+                      np.zeros(n_cols, np.float32), [0, 1, 2, 3], aligned)
+        bad = extract_subprofile(bad, [0, 1, 2, 3], profs)
+        s0 = sp_score(bad, profs)
+        refined, stats = iterative_refinement(
+            bad, profs, 20, np.random.default_rng(1), -4.0, -0.5
+        )
+        assert stats["accepted"] >= 1
+        assert sp_score(refined, profs) > s0 + 1.0
+        assert len(refined.stem) == L  # shift repaired, gap columns gone
+
+    def test_cli_refine_iters(self, tmp_path):
+        import json
+
+        from ginfinity_tpu.pipelines.msa import main
+
+        prefix = str(tmp_path / "ref" / "msa")
+        main(["--input", "dummy", "--out-prefix", prefix, "--refine-iters", "4"])
+        with open(prefix + ".diagnostics/run_meta.json") as f:
+            meta = json.load(f)
+        assert "refinement" in meta
+        assert meta["refinement"]["iters"] == 4
+        assert meta["refinement"]["sp_final"] >= meta["refinement"]["sp_initial"] - 1e-6
+
+
 class TestMSACLI:
     def test_dummy_mode(self, tmp_path):
         from ginfinity_tpu.pipelines.msa import main
