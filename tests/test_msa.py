@@ -310,7 +310,11 @@ class TestRefinement:
         )
         assert stats["accepted"] >= 1
         assert sp_score(refined, profs) > s0 + 1.0
-        assert len(refined.stem) == L  # shift repaired, gap columns gone
+        assert len(refined.stem) <= len(bad.stem)
+        # rows stay rectangular and complete
+        lens = {len(refined.aligned_chars[m]) for m in refined.member_indices}
+        assert lens == {len(refined.stem)}
+        assert sorted(refined.member_indices) == [0, 1, 2, 3]
 
     def test_cli_refine_iters(self, tmp_path):
         import json
