@@ -120,6 +120,87 @@ def measure_torch_cpu_baseline(graphs, feature_dim, max_graphs=2000):
     return len(graphs) / dt
 
 
+def measure_search_quick(n=200_000, dim=128, nq=1024, k=10):
+    """Secondary driver-visible metric: sharded top-k q/s + recall@k."""
+    from ginfinity_tpu.parallel.search import (
+        TopKSearcher,
+        brute_force_topk,
+        recall_at_k,
+    )
+
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(n, dim)).astype(np.float32)
+    queries = corpus[rng.integers(0, n, size=nq)] + 0.05 * rng.normal(
+        size=(nq, dim)
+    ).astype(np.float32)
+    searcher = TopKSearcher(corpus, metric="sqeuclidean", query_block=1024)
+    searcher.search(queries, k)  # warm
+    t0 = time.perf_counter()
+    _, ids = searcher.search(queries, k)
+    qps = nq / (time.perf_counter() - t0)
+    _, ti = brute_force_topk(corpus, queries[:128], k)
+    return {"topk_queries_per_sec": round(qps, 1),
+            "recall_at_10": recall_at_k(ids[:128], ti),
+            "corpus_rows": n}
+
+
+def measure_train_step(n_steps=20):
+    """Secondary driver-visible metric: alignment train-step throughput
+    (graphs/sec through forward+backward+adam) on a representative batch."""
+    import jax
+    import optax
+
+    from ginfinity_tpu.graphs.build import build_graph_arrays
+    from ginfinity_tpu.graphs.batching import batch_graphs
+    from ginfinity_tpu.models.gine import GINConfig, init_params
+    from ginfinity_tpu.training.train import (
+        AlignmentBatch,
+        TrainState,
+        alignment_loss_fn,
+        make_train_step,
+    )
+
+    rng = np.random.default_rng(0)
+    cfg = GINConfig.create(
+        hidden_dim=128, output_dim=128, gin_layers=6,
+        pooling_type="global_mean_pool", norm_type="graph",
+        node_embed_norm="zscore_l2", use_residual=True, node_feature_dim=4,
+    )
+    params, state = init_params(jax.random.PRNGKey(0), cfg)
+    n_graphs = 16
+    graphs = []
+    for _ in range(n_graphs):
+        k = int(rng.integers(20, 60))
+        L = int(rng.integers(150, 250))
+        graphs.append(build_graph_arrays("(" * k + "." * (L - 2 * k) + ")" * k))
+    gb = batch_graphs(graphs)
+    m = 512
+    total_nodes = sum(g.n_nodes for g in graphs)
+    batch = AlignmentBatch(
+        graphs=gb,
+        node_idx=np.asarray(rng.integers(0, total_nodes, size=m), np.int32),
+        labels=np.asarray(rng.integers(0, 200, size=m), np.int64),
+        graph_ids=np.asarray(rng.integers(0, n_graphs, size=m), np.int32),
+        categories=np.asarray(rng.integers(0, 6, size=m), np.int32),
+        valid=np.ones(m, np.float32),
+    )
+    optimizer = optax.adam(1e-4)
+    ts = TrainState.create(params, state, optimizer)
+    step = make_train_step(cfg, optimizer, alignment_loss_fn())
+    key = jax.random.PRNGKey(1)
+    ts, loss = step(ts, batch, key)  # compile
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        key, sub = jax.random.split(key)
+        ts, loss = step(ts, batch, sub)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return {"alignment_train_steps_per_sec": round(n_steps / dt, 2),
+            "graphs_per_sec": round(n_steps * n_graphs / dt, 1),
+            "graphs_per_step": n_graphs}
+
+
 def main():
     import pandas as pd
     import torch
@@ -151,6 +232,20 @@ def main():
         pd.read_csv(SAMPLE)["secondary_structure"].astype(str).tolist()
     )
     tput = measure_tpu(structures)
+
+    # Secondary metrics (search q/s + recall, train-step throughput) so
+    # regressions in those paths are driver-visible too; failures there
+    # must not sink the headline metric.
+    extra = {}
+    for name, fn in (("search", measure_search_quick), ("train", measure_train_step)):
+        try:
+            extra[name] = fn()
+        except Exception as exc:  # pragma: no cover
+            extra[name] = {"error": str(exc)}
+            print(f"[bench] {name} metric failed: {exc}", file=sys.stderr)
+    with open(os.path.join(REPO, "BENCH_EXTRA.json"), "w") as f:
+        json.dump(extra, f, indent=2)
+
     print(
         json.dumps(
             {
