@@ -185,15 +185,33 @@ def _window_slot_caps(pt: np.ndarray, L: int, starts: np.ndarray,
 
 
 @partial(jax.jit, static_argnames=("config", "L", "keep_paired_neighbors",
-                                   "p_cap", "b_cap"))
+                                   "p_cap", "b_cap", "chunk"))
 def _embed_windows_jit(config: GINConfig, params, state, feat, pt, starts,
                        L: int, keep_paired_neighbors: bool,
-                       p_cap: int = None, b_cap: int = None):
-    def one(start):
-        b = _window_batch(feat, pt, start, L, keep_paired_neighbors, p_cap, b_cap)
-        return forward_once(config, params, state, b)[0][0]
+                       p_cap: int = None, b_cap: int = None, chunk: int = 64):
+    """Single-structure variant of :func:`_embed_windows_stacked_jit`."""
+    n_per = L + (p_cap if p_cap is not None else (L if keep_paired_neighbors else 0))
 
-    return jax.lax.map(one, starts, batch_size=64)
+    def chunk_fn(st):
+        wb = jax.vmap(
+            lambda s: _window_batch(feat, pt, s, L, keep_paired_neighbors,
+                                    p_cap, b_cap)
+        )(st)
+        gb = _flatten_window_chunk(wb, chunk, n_per)
+        return forward_once(config, params, state, gb)[0]
+
+    w_cap = starts.shape[0]
+    return jax.lax.map(chunk_fn, starts.reshape(-1, chunk)).reshape(w_cap, -1)
+
+
+def _chunk_for(w_cap: int) -> int:
+    """Largest of {128, 64, 32} dividing the padded window count (every
+    ladder capacity is a multiple of 32).  128 measured fastest on the
+    v5e (12.4k vs 10.9k emb/s at 64; 256 regresses — VMEM pressure)."""
+    for c in (128, 64, 32):
+        if w_cap % c == 0:
+            return c
+    return 32
 
 
 def embed_structure_windows(
@@ -243,30 +261,74 @@ def embed_structure_windows(
         cfg, model.params, model.state,
         jnp.asarray(feat_p), jnp.asarray(pt_p), jnp.asarray(starts_padded),
         L, keep_paired_neighbors,
-        _cap_ladder(p_max), _cap_ladder(b_max),
+        _cap_ladder(p_max), _cap_ladder(b_max), _chunk_for(cap),
     )
     if block:
         emb = np.asarray(emb)[: starts.size]
     return starts.astype(np.int64), emb
 
 
+def _flatten_window_chunk(wb: GraphBatch, chunk: int, n_per: int) -> GraphBatch:
+    """Merge ``chunk`` vmapped single-window GraphBatches into ONE flat
+    multi-graph batch (window w occupies node slots [w*n_per, (w+1)*n_per)).
+
+    Message passing, norms, and pooling then run as flat segment ops over
+    the whole chunk — the same layout as the file-based engine's packed
+    batches — instead of vmapped per-window ops, which XLA schedules far
+    less efficiently on TPU."""
+    e_per = wb.edge_src.shape[1]
+    offs = (jnp.arange(chunk, dtype=jnp.int32) * n_per)[:, None]
+    node_mask = wb.node_mask.reshape(-1)
+    node_graph = jnp.where(
+        node_mask > 0,
+        jnp.repeat(jnp.arange(chunk, dtype=jnp.int32), n_per),
+        chunk,
+    )
+    return GraphBatch(
+        node_feat=wb.node_feat.reshape(chunk * n_per, -1),
+        node_graph=node_graph,
+        node_mask=node_mask,
+        base_mask=node_mask,
+        edge_src=(wb.edge_src + offs).reshape(-1),
+        edge_dst=(wb.edge_dst + offs).reshape(-1),
+        edge_attr=wb.edge_attr.reshape(chunk * e_per, -1),
+        edge_mask=wb.edge_mask.reshape(-1),
+        n_nodes=wb.n_nodes.reshape(-1),
+        num_graphs=chunk,
+    )
+
+
 @partial(jax.jit, static_argnames=("config", "L", "keep_paired_neighbors",
-                                   "p_cap", "b_cap"))
+                                   "p_cap", "b_cap", "chunk"))
 def _embed_windows_stacked_jit(config: GINConfig, params, state, feats, pts,
                                sidx, starts, L: int, keep_paired_neighbors: bool,
-                               p_cap: int = None, b_cap: int = None):
+                               p_cap: int = None, b_cap: int = None,
+                               chunk: int = 64):
     """All windows of a stacked structure group in ONE program.
 
     feats [S, n_cap, F] / pts [S, n_cap]: padded per-structure arrays.
-    sidx/starts [W_cap]: flat window descriptors (structure slot, start).
+    sidx/starts [W_cap]: flat window descriptors (structure slot, start);
+    W_cap must be a multiple of ``chunk``.  Each chunk of windows is
+    vmap-built, flattened into one multi-graph batch, and encoded by one
+    flat forward pass.
     """
-    def one(args):
-        si, st = args
-        b = _window_batch(feats[si], pts[si], st, L, keep_paired_neighbors,
-                          p_cap, b_cap)
-        return forward_once(config, params, state, b)[0][0]
+    n_per = L + (p_cap if p_cap is not None else (L if keep_paired_neighbors else 0))
 
-    return jax.lax.map(one, (sidx, starts), batch_size=64)
+    def build_one(si, st):
+        return _window_batch(feats[si], pts[si], st, L, keep_paired_neighbors,
+                             p_cap, b_cap)
+
+    def chunk_fn(args):
+        si, st = args  # [chunk]
+        wb = jax.vmap(build_one)(si, st)
+        gb = _flatten_window_chunk(wb, chunk, n_per)
+        return forward_once(config, params, state, gb)[0]
+
+    w_cap = sidx.shape[0]
+    out = jax.lax.map(
+        chunk_fn, (sidx.reshape(-1, chunk), starts.reshape(-1, chunk))
+    )
+    return out.reshape(w_cap, -1)
 
 
 def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
@@ -339,7 +401,7 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
             jnp.asarray(feats), jnp.asarray(pts_p),
             jnp.asarray(sidx_p), jnp.asarray(starts_p),
             L, keep_paired_neighbors,
-            _cap_ladder(p_cap), _cap_ladder(b_cap),
+            _cap_ladder(p_cap), _cap_ladder(b_cap), _chunk_for(w_cap),
         )
         pending.append((idxs, emb))
 
