@@ -1,0 +1,125 @@
+"""Auxiliary pipelines: the MSA hyperparameter optimizer (C21) and the
+RiNALMo base-embedding bridge (C13)."""
+
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _msa_input(tmp_path, n_seq=3, L=18, d=8, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(L, d)).astype(np.float32)
+    rows = []
+    for k in range(n_seq):
+        emb = base + 0.02 * rng.normal(size=base.shape).astype(np.float32)
+        rows.append({
+            "Name": f"r{k}",
+            "node_embeddings": json.dumps(emb.round(6).tolist()),
+            "DotBracket": "(((" + "." * (L - 6) + ")))",
+        })
+    p = tmp_path / "in.tsv"
+    pd.DataFrame(rows).to_csv(p, sep="\t", index=False)
+    return str(p)
+
+
+class TestOptimizeMsa:
+    def test_random_search_fallback_end_to_end(self, tmp_path):
+        """optuna is not installed in this image; the seeded random-search
+        fallback must run trials, score column agreement, and write
+        trials.csv + best_params.json (reference hard-exits without
+        optuna — this is the documented upgrade)."""
+        from ginfinity_tpu.pipelines.optimize_msa import main
+
+        inp = _msa_input(tmp_path)
+        regions = tmp_path / "regions.tsv"
+        # known homologous region: positions 2..9 of both (1-based)
+        regions.write_text("Name\tStart\tEnd\nr0\t2\t9\nr1\t2\t9\n")
+        outdir = tmp_path / "opt"
+        main([
+            "--input", inp, "--regions-tsv", str(regions),
+            "--name-a", "r0", "--name-b", "r1",
+            "--n-trials", "2", "--outdir", str(outdir),
+            "--study-name", "t", "--topk", "8",
+            "--consistency-rounds", "1", "--max-pairs", "10",
+            "--dotbracket-col", "DotBracket",
+        ])
+        study = outdir / "t"
+        trials = pd.read_csv(study / "trials.csv")
+        assert len(trials) == 2
+        assert np.isfinite(trials["value"]).all()
+        best = json.loads((study / "best_params.json").read_text())
+        assert set(best) == {"refine_iters", "alpha", "beta", "gap_open", "gap_extend"}
+        # near-identical sequences: the best trial co-aligns the region
+        assert trials["value"].max() == 8  # 8 positions, all +1
+
+    def test_score_function(self):
+        from ginfinity_tpu.pipelines.optimize_msa import compute_score
+
+        msa = {"a": "AC-GU", "b": "AC-GU", "c": "-ACGU"}
+        regions = {"a": (1, 4), "b": (1, 4), "c": (1, 4)}
+        assert compute_score(msa, regions, "a", "b") == 4
+        # c is shifted by one column for position 1 only
+        assert compute_score(msa, regions, "a", "c") < 4
+
+
+class TestBaseEmbed:
+    def test_clean_gate_without_rinalmo(self, tmp_path):
+        from ginfinity_tpu.pipelines.base_embed import main
+
+        inp = tmp_path / "seqs.csv"
+        pd.DataFrame({"id": ["x"], "sequence": ["ACGU"]}).to_csv(inp, index=False)
+        with pytest.raises(SystemExit, match="rinalmo"):
+            main(["--input", str(inp), "--output", str(tmp_path / "o.tsv"),
+                  "--id-column", "id"])
+
+    def test_with_stubbed_model(self, tmp_path, monkeypatch):
+        """With a stub RiNALMo, the pipeline must tokenize, trim BOS/EOS,
+        and write the JSON-matrix TSV the aligners consume."""
+        import torch
+
+        D = 6
+
+        class FakeAlphabet:
+            def batch_tokenize(self, seqs):
+                L = max(len(s) for s in seqs)
+                # BOS + seq + EOS, padded
+                return [[1] + [2] * len(s) + [3] + [0] * (L - len(s)) for s in seqs]
+
+        class FakeModel:
+            def eval(self):
+                return self
+
+            def __call__(self, tokens):
+                B, T = tokens.shape
+                rep = torch.arange(B * T * D, dtype=torch.float32).reshape(B, T, D)
+                return {"representation": rep}
+
+        fake_pre = types.ModuleType("rinalmo.pretrained")
+        fake_pre.get_pretrained_model = lambda model_name: (FakeModel(), FakeAlphabet())
+        fake_root = types.ModuleType("rinalmo")
+        fake_root.pretrained = fake_pre
+        monkeypatch.setitem(sys.modules, "rinalmo", fake_root)
+        monkeypatch.setitem(sys.modules, "rinalmo.pretrained", fake_pre)
+
+        from ginfinity_tpu.pipelines.base_embed import main
+
+        inp = tmp_path / "seqs.tsv"
+        pd.DataFrame({"id": ["x", "y"], "sequence": ["ACGU", "AcgUU"]}).to_csv(
+            inp, sep="\t", index=False
+        )
+        out = tmp_path / "o.tsv"
+        main(["--input", str(inp), "--output", str(out), "--id-column", "id",
+              "--quiet"])
+        df = pd.read_csv(out, sep="\t")
+        assert list(df["id"]) == ["x", "y"]
+        m0 = np.array(json.loads(df.iloc[0]["base_embeddings"]))
+        m1 = np.array(json.loads(df.iloc[1]["base_embeddings"]))
+        assert m0.shape == (4, D)   # BOS/EOS trimmed
+        assert m1.shape == (5, D)
+        # row 0 of the trimmed matrix is token position 1 (BOS skipped)
+        assert m0[0, 0] == pytest.approx(D)  # arange: position 1 starts at D
