@@ -56,12 +56,16 @@ def _compact(flags, values_list, cap: int):
 
 
 def _window_batch(feat, pt, start, L: int, keep_paired_neighbors: bool,
-                  p_cap: int = None, b_cap: int = None):
+                  p_cap: int = None, b_cap: int = None,
+                  include_backbone: bool = True):
     """Build one window's GraphBatch (single graph) inside jit.
 
     ``p_cap``/``b_cap`` bound the pulled-partner and in-window base-pair
     slot counts (compact layout); ``None`` falls back to the loose upper
-    bounds (L and L) for callers that cannot precompute them."""
+    bounds (L and L) for callers that cannot precompute them.
+    ``include_backbone=False`` omits the (i, i±1) backbone edges — used
+    by the dense chunk forward, which computes their messages as array
+    shifts instead of gather/scatter."""
     if p_cap is None:
         p_cap = L if keep_paired_neighbors else 0
     if b_cap is None:
@@ -112,10 +116,10 @@ def _window_batch(feat, pt, start, L: int, keep_paired_neighbors: bool,
         return s, d, attr * m[:, None], m
 
     # forward flags: backbone src(i) > dst(i-1) in original order -> fwd=0
-    segs = [
-        both_dirs(bb_src, bb_dst, bb_mask, jnp.zeros(L - 1), (1.0, 0.0)),
-        both_dirs(bp_src, bp_dst, bp_occ, jnp.ones(b_cap), (0.0, 1.0)),
-    ]
+    segs = []
+    if include_backbone:
+        segs.append(both_dirs(bb_src, bb_dst, bb_mask, jnp.zeros(L - 1), (1.0, 0.0)))
+    segs.append(both_dirs(bp_src, bp_dst, bp_occ, jnp.ones(b_cap), (0.0, 1.0)))
     if p_cap > 0:
         # pulled-partner pairs: compacted local i <-> tail slot L+k
         pl_dst = L + jnp.arange(p_cap, dtype=jnp.int32)
@@ -191,12 +195,15 @@ def _embed_windows_jit(config: GINConfig, params, state, feat, pt, starts,
                        p_cap: int = None, b_cap: int = None, chunk: int = 64):
     """Single-structure variant of :func:`_embed_windows_stacked_jit`."""
     n_per = L + (p_cap if p_cap is not None else (L if keep_paired_neighbors else 0))
+    dense = _dense_forward_ok(config)
 
     def chunk_fn(st):
         wb = jax.vmap(
             lambda s: _window_batch(feat, pt, s, L, keep_paired_neighbors,
-                                    p_cap, b_cap)
+                                    p_cap, b_cap, include_backbone=not dense)
         )(st)
+        if dense:
+            return _forward_windows_dense(config, params, state, wb, chunk, n_per, L)
         gb = _flatten_window_chunk(wb, chunk, n_per)
         return forward_once(config, params, state, gb)[0]
 
@@ -298,6 +305,106 @@ def _flatten_window_chunk(wb: GraphBatch, chunk: int, n_per: int) -> GraphBatch:
     )
 
 
+def _dense_forward_ok(config: GINConfig) -> bool:
+    """The dense chunk forward covers the window pipeline's config space:
+    standard encoding (4-dim edges), graph/none norm, add/mean pooling.
+    Anything else routes through the generic flattened forward_once."""
+    return (
+        config.edge_feature_dim == 4
+        and config.norm_type in ("graph", "none")
+        and config.pooling_type in ("global_add_pool", "global_mean_pool")
+    )
+
+
+def _forward_windows_dense(config: GINConfig, params, state, wb: GraphBatch,
+                           chunk: int, n_per: int, L: int):
+    """GINE forward specialized to a chunk of vmapped window batches
+    (every field carries a leading [chunk] axis; backbone edges omitted).
+
+    Windows are equal contiguous row slabs, so the segment ops of the
+    generic path become cheap dense ops:
+
+    - backbone messages (~70% of all edges) are axis-1 SHIFTS — the
+      receiver of (i±1 -> i) is a static neighbour row, and the two
+      backbone edge-attr vectors are constants, so per layer only two
+      [H] edge embeddings are needed;
+    - GraphNorm statistics and pooling are masked means over axis 1
+      instead of segment_sum + index gathers;
+    - only the irregular base-pair / pulled-partner edges (2(B+P) per
+      window) go through gather + segment_sum.
+
+    Same semantics as forward_once for the configs _dense_forward_ok
+    admits (parity-tested against the file-based engine path)."""
+    from ginfinity_tpu.models.gine import _dense, _prec, apply_node_norm
+
+    prec = _prec(config)
+    C = chunk
+    mask3 = wb.node_mask[..., None]  # [C, n_per, 1]
+    counts = jnp.maximum(wb.node_mask.sum(axis=1), 1.0)  # [C]
+    x = _dense(
+        wb.node_feat.reshape(C * n_per, -1), params["node_encoder"], prec
+    ).reshape(C, n_per, -1)
+
+    # flat irregular edges with per-window offsets
+    offs = (jnp.arange(C, dtype=jnp.int32) * n_per)[:, None]
+    esrc = (wb.edge_src + offs).reshape(-1)
+    edst = (wb.edge_dst + offs).reshape(-1)
+    eattr = wb.edge_attr.reshape(esrc.shape[0], -1)
+    emask = wb.edge_mask.reshape(-1)
+
+    pos = jnp.arange(n_per)
+    # attrs [adjacent, base_pair, is_forward, is_backward]:
+    # (i+1 -> i) carries fwd=0; (i-1 -> i) carries fwd=1 (_window_batch)
+    attr_from_next = jnp.asarray([1.0, 0.0, 0.0, 1.0], jnp.float32)
+    attr_from_prev = jnp.asarray([1.0, 0.0, 1.0, 0.0], jnp.float32)
+    m_next = (pos <= L - 2).astype(x.dtype)[None, :, None]
+    m_prev = ((pos >= 1) & (pos <= L - 1)).astype(x.dtype)[None, :, None]
+    zrow = lambda a: jnp.zeros_like(a[:, :1, :])
+
+    for i in range(config.gin_layers):
+        conv = params["convs"][i]
+        h_in = x
+        eb_next = _dense(attr_from_next[None, :], conv["edge_lin"], prec)[0]
+        eb_prev = _dense(attr_from_prev[None, :], conv["edge_lin"], prec)[0]
+        x_next = jnp.concatenate([x[:, 1:, :], zrow(x)], axis=1)
+        x_prev = jnp.concatenate([zrow(x), x[:, :-1, :]], axis=1)
+        agg = (
+            jax.nn.relu(x_next + eb_next) * m_next
+            + jax.nn.relu(x_prev + eb_prev) * m_prev
+        )
+        if esrc.shape[0]:
+            ee = _dense(eattr, conv["edge_lin"], prec)
+            xf = x.reshape(C * n_per, -1)
+            msg = jax.nn.relu(xf[esrc] + ee) * emask[:, None]
+            agg = agg + jax.ops.segment_sum(
+                msg, edst, num_segments=C * n_per
+            ).reshape(C, n_per, -1)
+        h = (1.0 + conv["eps"]) * x + agg
+        hf = h.reshape(C * n_per, -1)
+        hf = jax.nn.relu(_dense(hf, conv["mlp0"], prec))
+        hf = jax.nn.relu(_dense(hf, conv["mlp1"], prec))
+        h = hf.reshape(C, n_per, -1)
+        if config.norm_type == "graph":
+            p = params["norms"][i]
+            cnt = counts[:, None, None]
+            mean = (h * mask3).sum(axis=1, keepdims=True) / cnt
+            out = h - mean * p["mean_scale"]
+            var = ((out * out) * mask3).sum(axis=1, keepdims=True) / cnt
+            h = p["weight"] * out / jnp.sqrt(var + 1e-5) + p["bias"]
+        if config.use_residual and h.shape == h_in.shape:
+            h = h + h_in
+        x = h
+
+    if config.normalize_nodes_before_pool:
+        x = apply_node_norm(config, state, x.reshape(C * n_per, -1)).reshape(
+            C, n_per, -1
+        )
+    pooled = (x * mask3).sum(axis=1)  # [C, H]
+    if config.pooling_type == "global_mean_pool":
+        pooled = pooled / counts[:, None]
+    return _dense(pooled, params["fc"], prec)
+
+
 @partial(jax.jit, static_argnames=("config", "L", "keep_paired_neighbors",
                                    "p_cap", "b_cap", "chunk"))
 def _embed_windows_stacked_jit(config: GINConfig, params, state, feats, pts,
@@ -309,18 +416,21 @@ def _embed_windows_stacked_jit(config: GINConfig, params, state, feats, pts,
     feats [S, n_cap, F] / pts [S, n_cap]: padded per-structure arrays.
     sidx/starts [W_cap]: flat window descriptors (structure slot, start);
     W_cap must be a multiple of ``chunk``.  Each chunk of windows is
-    vmap-built, flattened into one multi-graph batch, and encoded by one
-    flat forward pass.
+    vmap-built and encoded by the dense chunk forward (or the generic
+    flattened forward for exotic configs).
     """
     n_per = L + (p_cap if p_cap is not None else (L if keep_paired_neighbors else 0))
+    dense = _dense_forward_ok(config)
 
     def build_one(si, st):
         return _window_batch(feats[si], pts[si], st, L, keep_paired_neighbors,
-                             p_cap, b_cap)
+                             p_cap, b_cap, include_backbone=not dense)
 
     def chunk_fn(args):
         si, st = args  # [chunk]
         wb = jax.vmap(build_one)(si, st)
+        if dense:
+            return _forward_windows_dense(config, params, state, wb, chunk, n_per, L)
         gb = _flatten_window_chunk(wb, chunk, n_per)
         return forward_once(config, params, state, gb)[0]
 
