@@ -246,9 +246,14 @@ def pairhmm_posteriors(
     if mode not in ("global", "local"):
         raise ValueError(f"mode must be 'global' or 'local', got {mode!r}")
     local = mode == "local"
+    from ginfinity_tpu.graphs.batching import _round_capacity
+
     B = len(score_mats)
-    L1 = max(m.shape[0] for m in score_mats)
-    L2 = max(m.shape[1] for m in score_mats)
+    # ladder-round padded dims so program variants stay O(log L) across
+    # batches (cold TPU compiles cost minutes; recurrences are masked by
+    # the real l1/l2, so padding does not change real-region values)
+    L1 = _round_capacity(max(m.shape[0] for m in score_mats))
+    L2 = _round_capacity(max(m.shape[1] for m in score_mats))
     L = np.full((B, L1, L2), -1e4, np.float32)
     l1 = np.zeros(B, np.int32)
     l2 = np.zeros(B, np.int32)
@@ -341,13 +346,22 @@ def profile_align(S: np.ndarray, gap_open: float, gap_extend: float):
     """Run the reference's profile-profile affine DP on one score matrix.
 
     Returns dense (M, X, Y) [(L1+1, L2+1)] for the reference's
-    value-based traceback (embed_msa.py:1042-1054)."""
+    value-based traceback (embed_msa.py:1042-1054).
+
+    Shapes are ladder-rounded before compilation: progressive alignment
+    calls this with a different (L1, L2) at every merge, and per-shape
+    TPU compiles would dominate the pipeline."""
+    from ginfinity_tpu.graphs.batching import _round_capacity
+
     L1, L2 = S.shape
+    P1, P2 = _round_capacity(L1), _round_capacity(L2)
+    Sp = np.full((P1, P2), -1e4, np.float32)
+    Sp[:L1, :L2] = S
     Ms, Xs, Ys = _profile_wavefront(
-        jnp.asarray(S[None]), jnp.asarray([L1], np.int32), jnp.asarray([L2], np.int32),
+        jnp.asarray(Sp[None]), jnp.asarray([L1], np.int32), jnp.asarray([L2], np.int32),
         jnp.float32(gap_open), jnp.float32(gap_extend),
     )
-    M = _unshear(np.asarray(Ms), 0, L1, L2)
-    X = _unshear(np.asarray(Xs), 0, L1, L2)
-    Y = _unshear(np.asarray(Ys), 0, L1, L2)
+    M = _unshear(np.asarray(Ms), 0, P1, P2)[: L1 + 1, : L2 + 1]
+    X = _unshear(np.asarray(Xs), 0, P1, P2)[: L1 + 1, : L2 + 1]
+    Y = _unshear(np.asarray(Ys), 0, P1, P2)[: L1 + 1, : L2 + 1]
     return M, X, Y
