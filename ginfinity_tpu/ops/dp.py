@@ -260,9 +260,13 @@ def affine_align_batch(
             from ginfinity_tpu.ops.pallas_dp import nw_align_batch_pallas
 
             return nw_align_batch_pallas(score_mats, gap_open, gap_extend)
+    from ginfinity_tpu.graphs.batching import _round_capacity
+
     B = len(score_mats)
-    L1 = max(m.shape[0] for m in score_mats)
-    L2 = max(m.shape[1] for m in score_mats)
+    # ladder-round so varying batch shapes reuse O(log L) compiled
+    # programs (the wavefront is masked by the real l1/l2)
+    L1 = _round_capacity(max(m.shape[0] for m in score_mats))
+    L2 = _round_capacity(max(m.shape[1] for m in score_mats))
     scores = np.full((B, L1, L2), 0.0, np.float32)
     l1 = np.zeros(B, np.int32)
     l2 = np.zeros(B, np.int32)
