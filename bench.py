@@ -195,12 +195,15 @@ def measure_train_step(n_steps=20):
     step = make_train_step(cfg, optimizer, alignment_loss_fn())
     key = jax.random.PRNGKey(1)
     ts, loss = step(ts, batch, key)  # compile
-    jax.block_until_ready(loss)
+    # NOTE: jax.block_until_ready does NOT block over the axon tunnel;
+    # a host download of the loss is the only reliable fence (it forces
+    # the whole ts dependency chain).
+    float(np.asarray(loss))
     t0 = time.perf_counter()
     for _ in range(n_steps):
         key, sub = jax.random.split(key)
         ts, loss = step(ts, batch, sub)
-    jax.block_until_ready(loss)
+    float(np.asarray(loss))
     dt = time.perf_counter() - t0
     return {"alignment_train_steps_per_sec": round(n_steps / dt, 2),
             "graphs_per_sec": round(n_steps * n_graphs / dt, 1),

@@ -74,7 +74,12 @@ class TopKSearcher:
             corpus = corpus / np.maximum(
                 np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12
             )
-        padded = _pad_rows(corpus, n_dev)
+        # Each shard scans its rows in tiles of `corpus_tile`, keeping a
+        # running top-k, so the [Q, rows_local] score matrix is never
+        # materialized (16 GB of HBM traffic per 4k queries at 1M rows).
+        per_shard = -(-self.n // n_dev)
+        self.corpus_tile = min(8192, max(256, 1 << (per_shard - 1).bit_length()))
+        padded = _pad_rows(corpus, n_dev * self.corpus_tile)
         valid = np.zeros(padded.shape[0], np.float32)
         valid[: self.n] = 1.0
 
@@ -103,30 +108,61 @@ class TopKSearcher:
             else jax.lax.Precision.DEFAULT
         )
 
+        tile = self.corpus_tile
+        n_tiles = shard_rows // tile
+        tile_k = min(k, tile)
+
         def shard_search(corpus, valid, sqnorm, queries):
-            # corpus [rows_local, D], queries [Q, D] replicated
-            scores = jax.lax.dot_general(
-                queries,
-                corpus,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )  # [Q, rows_local]
-            if metric == "sqeuclidean":
-                # maximize 2 q.c - ||c||^2  ==  minimize ||q - c||^2
-                scores = 2.0 * scores - sqnorm[None, :]
-            scores = jnp.where(valid[None, :] > 0, scores, _NEG)
+            # corpus [rows_local, D], queries [Q, D] replicated.
+            # Scan corpus tiles with a running top-k: per step one
+            # [Q, tile] MXU Gram + a tile top-k + a 2k merge — scores
+            # never materialize beyond one tile.
+            q = queries.shape[0]
+            shard_base = jax.lax.axis_index("data") * shard_rows
+
+            def tile_step(carry, xs):
+                best_v, best_g = carry  # [Q, local_k]
+                c_t, v_t, s_t, base = xs
+                scores = jax.lax.dot_general(
+                    queries, c_t,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )  # [Q, tile]
+                if metric == "sqeuclidean":
+                    # maximize 2 q.c - ||c||^2  ==  minimize ||q - c||^2
+                    scores = 2.0 * scores - s_t[None, :]
+                scores = jnp.where(v_t[None, :] > 0, scores, _NEG)
+                tv, ti = jax.lax.top_k(scores, tile_k)
+                vs = jnp.concatenate([best_v, tv], axis=1)
+                gs = jnp.concatenate([best_g, ti + base], axis=1)
+                nv, ni = jax.lax.top_k(vs, local_k)
+                ng = jnp.take_along_axis(gs, ni, axis=1)
+                return (nv, ng), None
+
             # a shard may hold fewer than k rows; the merge still sees
             # n_dev * local_k >= k candidates
             local_k = min(k, shard_rows)
-            v, i = jax.lax.top_k(scores, local_k)  # [Q, local_k] local
-            base = jax.lax.axis_index("data") * shard_rows
-            gids = i + base
+            init = (
+                jnp.full((q, local_k), _NEG, jnp.float32),
+                jnp.zeros((q, local_k), jnp.int32),
+            )
+            bases = shard_base + jnp.arange(n_tiles, dtype=jnp.int32) * tile
+            (v, gids), _ = jax.lax.scan(
+                tile_step,
+                init,
+                (
+                    corpus.reshape(n_tiles, tile, -1),
+                    valid.reshape(n_tiles, tile),
+                    sqnorm.reshape(n_tiles, tile),
+                    bases,
+                ),
+            )
             # Gather the candidates from every shard over ICI.
             vs = jax.lax.all_gather(v, "data")  # [n_dev, Q, local_k]
             gs = jax.lax.all_gather(gids, "data")
-            vs = jnp.transpose(vs, (1, 0, 2)).reshape(v.shape[0], n_dev * local_k)
-            gs = jnp.transpose(gs, (1, 0, 2)).reshape(v.shape[0], n_dev * local_k)
+            vs = jnp.transpose(vs, (1, 0, 2)).reshape(q, n_dev * local_k)
+            gs = jnp.transpose(gs, (1, 0, 2)).reshape(q, n_dev * local_k)
             fv, fi = jax.lax.top_k(vs, k)
             fg = jnp.take_along_axis(gs, fi, axis=1)
             return fv, fg
