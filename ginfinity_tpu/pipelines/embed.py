@@ -100,6 +100,77 @@ def generate_embeddings(
         print(f"Embeddings saved to {output_path}")
 
 
+def generate_window_embeddings(
+    input_df: pd.DataFrame,
+    output_path: str,
+    model_path: str,
+    log_path: str | None,
+    structure_column: str,
+    id_column: str,
+    window_size: int,
+    keep_paired_neighbors: bool = True,
+    mask_threshold: float = 0.0,
+    keep_cols: list | None = None,
+    quiet: bool = False,
+    precision: str = "highest",
+):
+    """Fused sliding-window embedding (--window-size): every window of
+    every structure is generated AND embedded on device in one pass —
+    the high-throughput path behind bench.py (~27k windows/sec on one
+    v5e chip vs ~1.5k through the file-based
+    generate-windows -> embed --graph-pt flow).  Output schema matches
+    that flow: one row per window with window_id/{id}/window_start/
+    window_end/seq_len + embedding_vector."""
+    from ginfinity_tpu.models.checkpoint import load_checkpoint
+    from ginfinity_tpu.models.gine import GINModel
+    from ginfinity_tpu.pipelines.fast_windows import embed_corpus_windows
+
+    cfg, params, state, _ = load_checkpoint(model_path)
+    if cfg.graph_encoding != "standard":
+        raise SystemExit(
+            "--window-size supports the standard encoding only; use "
+            "ginfinity-generate-windows + --graph-pt for forgi models."
+        )
+    if precision != "highest":
+        cfg = cfg.with_precision(precision)
+    model = GINModel(cfg, params, state)
+
+    structures = input_df[structure_column].astype(str).tolist()
+    ids = input_df[id_column].tolist()
+    results = embed_corpus_windows(
+        model, structures, window_size, keep_paired_neighbors, mask_threshold
+    )
+    rows = []
+    for rid, struct, (starts, embs) in zip(ids, structures, results):
+        base = input_df[input_df[id_column] == rid].iloc[0] if keep_cols else None
+        for start, vec in zip(starts, embs):
+            row = {
+                "window_id": f"{rid}_{int(start)}",
+                id_column: rid,
+                "window_start": int(start),
+                "window_end": int(start) + window_size - 1,
+                "seq_len": len(struct),
+                "embedding_vector": format_embedding(vec),
+            }
+            if keep_cols:
+                row.update({c: base[c] for c in keep_cols if c in base})
+            rows.append(row)
+    out_df = pd.DataFrame(rows)
+    leading = ["window_id", id_column, "window_start", "window_end", "seq_len",
+               "embedding_vector"]
+    out_df = out_df[[c for c in leading if c in out_df.columns]
+                    + [c for c in out_df.columns if c not in leading]]
+    out_df.to_csv(output_path, sep="\t", index=False, na_rep="NaN")
+    log_information(log_path, {
+        "num_window_embeddings": len(out_df),
+        "window_size": window_size,
+        "keep_paired_neighbors": keep_paired_neighbors,
+        "mask_threshold": mask_threshold,
+    }, "generate_window_embeddings")
+    if not quiet:
+        print(f"Window embeddings saved to {output_path}")
+
+
 def _embed_precomputed(args):
     """--graph-pt mode: embed precomputed window graphs
     (our .npz format from ginfinity_tpu.pipelines.windows; the reference's
@@ -165,6 +236,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile-dir", default=None,
                         help="Write a jax.profiler trace of the run to this directory "
                              "(view with TensorBoard / xprof).")
+    parser.add_argument("--window-size", type=int, default=None,
+                        help="Fused mode: embed every sliding window of "
+                             "this length directly on device (the fast "
+                             "path; replaces the two-step generate-windows "
+                             "-> embed --graph-pt flow).")
+    parser.add_argument("--keep-paired-neighbors", action="store_true",
+                        help="With --window-size: pull out-of-window "
+                             "pairing partners into each window.")
+    parser.add_argument("--mask-threshold", type=float, default=0.0,
+                        help="With --window-size: skip windows whose "
+                             "paired-base fraction is below this.")
     parser.add_argument("--precision", choices=["f32", "bf16"], default="f32",
                         help="MXU matmul precision. f32 (default) is "
                              "retrieval-identical to the reference; bf16 is "
@@ -203,6 +285,24 @@ def _main_inner(args):
         return
 
     df, log_path, propagate = setup_and_read_input(args, need_model=True)
+    if args.window_size is not None:
+        if args.window_size < 2:
+            sys.exit("ERROR: --window-size must be >= 2.")
+        generate_window_embeddings(
+            input_df=df,
+            output_path=args.output,
+            model_path=args.model_path,
+            log_path=log_path,
+            structure_column=args.structure_column_name,
+            id_column=args.id_column,
+            window_size=args.window_size,
+            keep_paired_neighbors=args.keep_paired_neighbors,
+            mask_threshold=args.mask_threshold,
+            keep_cols=propagate,
+            quiet=args.quiet,
+            precision="highest" if args.precision == "f32" else "bf16",
+        )
+        return
     generate_embeddings(
         input_df=df,
         output_path=args.output,

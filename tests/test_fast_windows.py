@@ -75,3 +75,41 @@ class TestFastWindows:
             np.testing.assert_array_equal(starts, st_ref)
             np.testing.assert_allclose(emb, emb_ref, atol=1e-5, rtol=1e-5)
         assert res[1][0].size == 0 and res[3][0].size == 0
+
+
+class TestFusedWindowCLI:
+    def test_matches_two_step_flow(self, model, tmp_path):
+        """ginfinity-embed --window-size must reproduce the
+        generate-windows -> embed --graph-pt flow row-for-row."""
+        from ginfinity_tpu.pipelines.embed import main as embed_main
+        from ginfinity_tpu.pipelines.windows import main as windows_main
+
+        mini = tmp_path / "mini.csv"
+        pd.read_csv(SAMPLE).head(3).to_csv(mini, index=False)
+
+        # two-step flow
+        wdir = tmp_path / "w"
+        windows_main(["--input", str(mini), "--output-dir", str(wdir),
+                      "--id-column", "rnacentral_id", "--L", "100",
+                      "--keep-paired-neighbors", "--mask-threshold", "0.1",
+                      "--quiet"])
+        two_step = tmp_path / "two.tsv"
+        embed_main(["--graph-pt", str(wdir / "windows_graphs.npz"),
+                    "--meta-tsv", str(wdir / "windows_metadata.tsv"),
+                    "--output", str(two_step), "--id-column", "rnacentral_id",
+                    "--model-path", CKPT, "--quiet"])
+
+        # fused mode
+        fused = tmp_path / "fused.tsv"
+        embed_main(["--input", str(mini), "--output", str(fused),
+                    "--id-column", "rnacentral_id", "--model-path", CKPT,
+                    "--window-size", "100", "--keep-paired-neighbors",
+                    "--mask-threshold", "0.1", "--quiet"])
+
+        a = pd.read_csv(two_step, sep="\t").set_index("window_id").sort_index()
+        b = pd.read_csv(fused, sep="\t").set_index("window_id").sort_index()
+        assert list(a.index) == list(b.index)
+        pd.testing.assert_series_equal(a["window_start"], b["window_start"])
+        va = np.array([[float(x) for x in v.split(",")] for v in a["embedding_vector"]])
+        vb = np.array([[float(x) for x in v.split(",")] for v in b["embedding_vector"]])
+        np.testing.assert_allclose(va, vb, atol=2e-4)
