@@ -78,6 +78,11 @@ def main(argv=None):
     parser.add_argument("--mode", type=int, default=1, choices=[1, 2])
     parser.add_argument("--id-column", default="exon_id")
     parser.add_argument("--query")
+    parser.add_argument("--top-k", type=int, default=None,
+                        help="Emit only each row's K nearest neighbours "
+                             "(exact sharded top-k search) instead of "
+                             "materializing every pair — the scalable "
+                             "retrieval mode the reference lacks.")
     args = parser.parse_args(argv)
 
     if not args.keep_cols:
@@ -92,9 +97,7 @@ def main(argv=None):
     emb = parse_embedding_column(df[args.embedding_col])
 
     n = len(df)
-    if args.mode == 1:
-        idx1, idx2 = all_pairs_indices(n)
-    else:
+    if args.mode == 2:
         if not args.query:
             raise ValueError("--query must be provided when --mode=2.")
         mask_q = df[args.id_column].astype(str) == str(args.query)
@@ -102,10 +105,48 @@ def main(argv=None):
         if idx_q.size == 0:
             raise ValueError(f"No rows where {args.id_column} == {args.query}")
         idx_o = np.nonzero(~mask_q.values)[0]
-        idx1 = np.repeat(idx_q, idx_o.size)
-        idx2 = np.tile(idx_o, idx_q.size)
 
-    distances = pair_distances(emb, idx1, idx2, batch=args.batch_size)
+    if args.top_k is not None:
+        if args.top_k < 1:
+            raise ValueError("--top-k must be >= 1.")
+        from ginfinity_tpu.parallel.search import TopKSearcher
+
+        if args.mode == 1:
+            # k+1 then drop the self match
+            searcher = TopKSearcher(emb, metric="sqeuclidean")
+            d, ids = searcher.search(emb, min(args.top_k + 1, n))
+            queries = np.arange(n)
+            remap = None
+        else:
+            if idx_o.size == 0:
+                raise ValueError("No non-query rows to search against.")
+            searcher = TopKSearcher(emb[idx_o], metric="sqeuclidean")
+            d, ids = searcher.search(emb[idx_q], min(args.top_k, idx_o.size))
+            queries = idx_q
+            remap = idx_o
+        l1, l2, dist = [], [], []
+        for r, qi in enumerate(queries):
+            kept = 0
+            for dv, ci in zip(d[r], ids[r]):
+                ci = int(ci) if remap is None else int(remap[int(ci)])
+                if ci == qi:
+                    continue
+                l1.append(int(qi))
+                l2.append(ci)
+                dist.append(float(dv))
+                kept += 1
+                if kept == args.top_k:
+                    break
+        idx1 = np.asarray(l1, np.int64)
+        idx2 = np.asarray(l2, np.int64)
+        distances = np.asarray(dist, np.float32)
+    else:
+        if args.mode == 1:
+            idx1, idx2 = all_pairs_indices(n)
+        else:
+            idx1 = np.repeat(idx_q, idx_o.size)
+            idx2 = np.tile(idx_o, idx_q.size)
+        distances = pair_distances(emb, idx1, idx2, batch=args.batch_size)
 
     rows1 = df.iloc[idx1][columns_to_keep].add_suffix("_1").reset_index(drop=True)
     rows2 = df.iloc[idx2][columns_to_keep].add_suffix("_2").reset_index(drop=True)

@@ -167,3 +167,60 @@ class TestWindows:
         df = pd.read_csv(out, sep="\t")
         assert df.columns[0] == "window_id"
         assert len(df) > 0
+
+
+class TestDistancesTopK:
+    def test_topk_matches_all_pairs(self, tmp_path):
+        """--top-k must agree with sorting the all-pairs output."""
+        from ginfinity_tpu.pipelines.distances import main
+
+        rng = np.random.default_rng(4)
+        n, d, k = 30, 8, 3
+        emb = rng.normal(size=(n, d)).astype(np.float32)
+        df = pd.DataFrame({
+            "rid": [f"r{i}" for i in range(n)],
+            "embedding_vector": [",".join(f"{x:.6f}" for x in e) for e in emb],
+        })
+        inp = tmp_path / "emb.tsv"
+        df.to_csv(inp, sep="\t", index=False)
+
+        allp = tmp_path / "all.tsv"
+        main(["--input", str(inp), "--output", str(allp), "--id-column", "rid"])
+        topk = tmp_path / "topk.tsv"
+        main(["--input", str(inp), "--output", str(topk), "--id-column", "rid",
+              "--top-k", str(k)])
+
+        a = pd.read_csv(allp, sep="\t")
+        t = pd.read_csv(topk, sep="\t")
+        assert len(t) == n * k
+        # symmetrize the all-pairs table, then check each row's k nearest
+        both = pd.concat([
+            a,
+            a.rename(columns={"rid_1": "rid_2", "rid_2": "rid_1"}),
+        ])
+        for rid, grp in t.groupby("rid_1"):
+            want = set(
+                both[both["rid_1"] == rid].nsmallest(k, "distance")["rid_2"]
+            )
+            assert set(grp["rid_2"]) == want, rid
+            assert (grp["distance"].values >= 0).all()
+
+    def test_topk_query_mode(self, tmp_path):
+        from ginfinity_tpu.pipelines.distances import main
+
+        rng = np.random.default_rng(5)
+        emb = rng.normal(size=(12, 4)).astype(np.float32)
+        df = pd.DataFrame({
+            "rid": [f"r{i}" for i in range(12)],
+            "embedding_vector": [",".join(f"{x:.6f}" for x in e) for e in emb],
+        })
+        inp = tmp_path / "emb.tsv"
+        df.to_csv(inp, sep="\t", index=False)
+        out = tmp_path / "o.tsv"
+        main(["--input", str(inp), "--output", str(out), "--id-column", "rid",
+              "--mode", "2", "--query", "r3", "--top-k", "4"])
+        t = pd.read_csv(out, sep="\t")
+        assert len(t) == 4
+        assert (t["rid_1"] == "r3").all()
+        assert "r3" not in set(t["rid_2"])
+        assert t["distance"].is_monotonic_increasing
