@@ -306,6 +306,99 @@ def run_alignment_diagnostics(ctx, params, model_state, epoch_index: int, log_pa
 
 
 # --------------------------------------------------------------------------
+# Periodic async checkpoints + exact resume (orbax; no reference
+# counterpart — train_model.py can only resume at schedule-round
+# granularity)
+# --------------------------------------------------------------------------
+
+
+def _make_ckpt_manager(ckpt_dir: str, keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=keep, enable_async_checkpointing=True
+        ),
+    )
+
+
+def _save_epoch_checkpoint(mgr, epoch: int, ts, key, early, rng_np, extra: dict):
+    """Async-save the FULL training state: params/model/opt states, the
+    jax key, the best-weights tracker, and the numpy generator state —
+    resume is exact (same shuffles, same dropout streams)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    tree = {
+        "params": ts.params,
+        "model_state": ts.model_state,
+        "opt_state": ts.opt_state,
+        "step": ts.step,
+        "key": key,
+        "best_params": early.best_params,
+        "best_model_state": early.best_model_state,
+    }
+    meta = {
+        **extra,
+        "epoch": int(epoch),
+        "early_best_loss": None if early.best_loss is None else float(early.best_loss),
+        "early_counter": int(early.counter),
+        "np_rng_state": json.loads(json.dumps(rng_np.bit_generator.state)),
+    }
+    mgr.save(
+        epoch,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardSave(jax.device_get(tree)),
+            meta=ocp.args.JsonSave(meta),
+        ),
+    )
+
+
+def _restore_checkpoint(ckpt_dir: str, ts, key, early, rng_np):
+    """Restore the latest epoch checkpoint in ``ckpt_dir`` into the given
+    mutable pieces; returns (ts, key, meta)."""
+    import orbax.checkpoint as ocp
+
+    mgr = _make_ckpt_manager(ckpt_dir)
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"No checkpoints found under {ckpt_dir}")
+    template = {
+        "params": ts.params,
+        "model_state": ts.model_state,
+        "opt_state": ts.opt_state,
+        "step": ts.step,
+        "key": key,
+        "best_params": ts.params,
+        "best_model_state": ts.model_state,
+    }
+    restored = mgr.restore(
+        step,
+        args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(template),
+            meta=ocp.args.JsonRestore(),
+        ),
+    )
+    tree, meta = restored["state"], restored["meta"]
+    ts = ts.replace(
+        params=tree["params"],
+        model_state=tree["model_state"],
+        opt_state=tree["opt_state"],
+        step=tree["step"],
+    )
+    early.best_params = tree["best_params"]
+    early.best_model_state = tree["best_model_state"]
+    early.best_loss = meta["early_best_loss"]
+    early.counter = meta["early_counter"]
+    state = meta["np_rng_state"]
+    state["state"] = {k: int(v) for k, v in state["state"].items()}
+    rng_np.bit_generator.state = state
+    mgr.close()
+    return ts, tree["key"], meta
+
+
+# --------------------------------------------------------------------------
 # One training run (one schedule round or the single-run mode)
 # --------------------------------------------------------------------------
 
@@ -464,11 +557,27 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
         run_alignment_diagnostics(diag_ctx, ts.params, ts.model_state, 0, log_path)
 
     current_lr = lr
-    last_epoch = -1
+    start_epoch = 0
+    save_every = int(getattr(args, "save_every", 0) or 0)
+    ckpt_mgr = None
+    if save_every > 0:
+        ckpt_mgr = _make_ckpt_manager(os.path.join(os.path.dirname(log_path), "checkpoints"))
+    if getattr(args, "resume_from", None):
+        ts, key, meta = _restore_checkpoint(args.resume_from, ts, key, early, rng_np)
+        start_epoch = meta["epoch"] + 1
+        current_lr = float(meta["current_lr"])
+        best_val = float(meta["best_val"])
+        best_epoch = int(meta["best_epoch"])
+        train_losses = list(meta["train_losses"])
+        val_losses = list(meta["val_losses"])
+        print(f"Resumed from epoch {meta['epoch']} checkpoint in {args.resume_from}")
+        log_information(log_path, {"Resumed from": args.resume_from,
+                                   "Resume epoch": start_epoch})
+    last_epoch = start_epoch - 1
     leftover_note = False
     interrupted = False
     try:
-        for epoch in range(num_epochs):
+        for epoch in range(start_epoch, num_epochs):
             last_epoch = epoch
             running = 0.0
             nb = 0
@@ -525,12 +634,23 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
                 "Learning Rate": current_lr,
             })
             print(f"Epoch {epoch + 1}/{num_epochs}, Training Loss: {avg_train}, Validation Loss: {avg_val}")
+            if ckpt_mgr is not None and (epoch + 1) % save_every == 0:
+                _save_epoch_checkpoint(
+                    ckpt_mgr, epoch, ts, key, early, rng_np,
+                    {"current_lr": current_lr, "best_val": best_val,
+                     "best_epoch": best_epoch, "train_losses": train_losses,
+                     "val_losses": val_losses},
+                )
             if early.early_stop:
                 print("Early stopping")
                 break
     except KeyboardInterrupt:
         print("\nTraining interrupted by user.")
         interrupted = True
+    finally:
+        if ckpt_mgr is not None:
+            ckpt_mgr.wait_until_finished()
+            ckpt_mgr.close()
 
     if interrupted:
         # interactive best-weights save (train_model.py:1228-1273)
@@ -661,6 +781,13 @@ def build_parser():
                              "matrix PNG.")
     parser.add_argument("--diagnostic-alignment", dest="diagnostic_alignment",
                         action="store_true", help=argparse.SUPPRESS)
+    parser.add_argument("--save-every", type=int, default=0,
+                        help="Write an async orbax checkpoint of the FULL "
+                             "training state every N epochs (0 = off).")
+    parser.add_argument("--resume-from", type=str, default=None,
+                        help="Resume exactly from the latest checkpoint in "
+                             "this directory (params, optimizer, RNG "
+                             "streams, early stopping, loss history).")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--training_mode", choices=["triplet", "regression", "alignment"], default="triplet")
     parser.add_argument("--seq_weight", type=float, default=0.0)
@@ -741,6 +868,9 @@ def main(argv=None):
             raise ValueError("--input_path cannot be used together with --schedule.")
         if args.alignment_map_path:
             raise ValueError("--alignment_map_path cannot be used together with --schedule.")
+        if args.resume_from:
+            raise ValueError("--resume-from applies to single runs; schedules "
+                             "resume via 'start_from_round' + 'checkpoint'.")
         schedule_plan = read_schedule(sp)
         print("Warning: schedule provided; ignoring CLI patience, lr, num_epochs, and decay_rate.")
     elif not args.input_path:

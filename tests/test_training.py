@@ -397,6 +397,61 @@ class TestTrainCLI:
         pngs = sorted(p.name for p in sim_dir.glob("epoch_*.png"))
         assert "epoch_000.png" in pngs  # initial diagnostics always run
 
+    def test_save_every_and_exact_resume(self, triplet_tsv, tmp_path, monkeypatch):
+        """An interrupted run resumed from its latest orbax checkpoint
+        must reach the SAME final weights as an uninterrupted run: the
+        checkpoint carries optimizer state, jax key, numpy RNG state,
+        and the early-stopping tracker."""
+        import builtins
+
+        import torch
+
+        from ginfinity_tpu.training import train_cli
+        from ginfinity_tpu.training.train import EarlyStopping
+
+        monkeypatch.chdir(tmp_path)
+        base_args = [
+            "--input_path", triplet_tsv, "--training_mode", "triplet",
+            "--hidden_dim", "8", "--gin_layers", "1", "--output_dim", "4",
+            "--batch_size", "8", "--num_epochs", "4", "--lr", "0.01",
+            "--decay_rate", "0.9", "--val_fraction", "0.25",
+            "--patience", "10", "--save-every", "1",
+        ]
+        # straight run
+        train_cli.main(base_args + ["--model_id", "full"])
+
+        # interrupted run: die during epoch 2's early-stopping update
+        calls = {"n": 0}
+        orig = EarlyStopping.__call__
+
+        def interrupting(self, val, ts):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise KeyboardInterrupt
+            return orig(self, val, ts)
+
+        monkeypatch.setattr(EarlyStopping, "__call__", interrupting)
+        monkeypatch.setattr(builtins, "input", lambda *a: "n")
+        train_cli.main(base_args + ["--model_id", "part"])
+        monkeypatch.setattr(EarlyStopping, "__call__", orig)
+
+        ckpts = tmp_path / "output" / "part" / "checkpoints"
+        assert ckpts.is_dir() and any(ckpts.iterdir())
+        # resume and finish
+        train_cli.main(base_args + ["--model_id", "part",
+                                    "--resume-from", str(ckpts)])
+
+        full = torch.load(tmp_path / "output" / "full" / "full.pth",
+                          map_location="cpu", weights_only=False)
+        part = torch.load(tmp_path / "output" / "part" / "part.pth",
+                          map_location="cpu", weights_only=False)
+        assert full["epoch"] == part["epoch"]
+        for k, v in full["state_dict"].items():
+            np.testing.assert_allclose(
+                v.numpy(), part["state_dict"][k].numpy(), atol=1e-6,
+                err_msg=k,
+            )
+
     def test_schedule_mode(self, alignment_data, tmp_path, monkeypatch):
         from ginfinity_tpu.training.train_cli import main
 
