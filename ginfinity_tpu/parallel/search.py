@@ -19,7 +19,6 @@ compute_distances.py:63), 'cosine', 'dot'.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

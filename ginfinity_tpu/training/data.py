@@ -21,7 +21,6 @@ host with a seeded generator, so the jitted loss sees static shapes.
 from __future__ import annotations
 
 import dataclasses
-import json
 from typing import Any, Iterator
 
 import jax.numpy as jnp
