@@ -349,6 +349,66 @@ def run_consistency_rounds(
     }
 
 
+def consistency_rounds_to_distances(
+    post: dict, N: int, rounds: int, lam: float = 0.5, topk: int = 20,
+    pmin: float = 1e-4, hbm_budget_bytes: int = 4 << 30,
+) -> np.ndarray:
+    """Consistency rounds + guide-tree distance matrix fully on device.
+
+    The posteriors are SPARSE (row/col top-K), so they upload as COO
+    triplets and densify on device with one scatter; after the rounds
+    only the [N, N] distance matrix comes back.  This is the path
+    ``main`` uses: at N=50, Lmax=150 the dense [N, N, L, L] tensor is
+    225 MB — ~90 s of round-trip on a ~15 MB/s host link — while the
+    sparse triplets are a few MB and the actual compute is ~0.1 s per
+    round on the MXU."""
+    if not post:
+        return np.zeros((N, N), np.float32)
+    lengths = np.zeros(N, np.int64)
+    for (a, b), P in post.items():
+        lengths[a] = P.shape[0]
+        lengths[b] = P.shape[1]
+    Lmax = int(lengths.max())
+    if rounds <= 0:
+        return build_distance_matrix(post, N)
+    if 2 * (N * N * Lmax * Lmax * 4) > hbm_budget_bytes:
+        out = post
+        for _ in range(rounds):
+            out = consistency_round(out, N, lam, topk, pmin)
+        return build_distance_matrix(out, N)
+
+    import jax.numpy as jnp
+
+    flats, vals = [], []
+    E = np.zeros((N, N), bool)
+    for (a, b), P in post.items():
+        ii, jj = np.nonzero(P)
+        p = P[ii, jj]
+        flats.append(((a * N + b) * Lmax + ii) * Lmax + jj)
+        flats.append(((b * N + a) * Lmax + jj) * Lmax + ii)
+        vals.append(p)
+        vals.append(p)
+        E[a, b] = E[b, a] = True
+    flat = np.concatenate(flats).astype(np.int32)
+    val = np.concatenate(vals).astype(np.float32)
+
+    Pdev = (
+        jnp.zeros(N * N * Lmax * Lmax, jnp.float32)
+        .at[jnp.asarray(flat)]
+        .set(jnp.asarray(val))
+        .reshape(N, N, Lmax, Lmax)
+    )
+    Edev = jnp.asarray(E)
+    round_fn = _consistency_device_round_fn()
+    for _ in range(rounds):
+        Pdev = round_fn(Pdev, Edev, jnp.float32(lam), topk, jnp.float32(pmin))
+    sums = Pdev.sum(axis=(-1, -2))
+    cnts = (Pdev > 0).sum(axis=(-1, -2))
+    D = jnp.where(cnts > 0, 1.0 - sums / jnp.maximum(cnts, 1), 1.0)
+    D = jnp.where(Edev, jnp.clip(D, 0.0, 1.0), 0.0)
+    return np.asarray(D, np.float32)
+
+
 def build_distance_matrix(post: dict, N: int) -> np.ndarray:
     """1 - mean(kept posteriors) as distance (embed_msa.py:684-693)."""
     D = np.zeros((N, N), dtype=np.float32)
@@ -880,11 +940,11 @@ def main(argv=None):
 
     if N >= 3 and args.consistency_rounds > 0:
         print(f"Running {args.consistency_rounds} consistency round(s)...")
-        post = run_consistency_rounds(
+        D = consistency_rounds_to_distances(
             post, N, args.consistency_rounds, lam=0.5, topk=args.topk, pmin=1e-4
         )
-
-    D = build_distance_matrix(post, N)
+    else:
+        D = build_distance_matrix(post, N)
     tree = build_guide_tree(D, method=args.tree)
 
     profiles = initial_profiles(records)

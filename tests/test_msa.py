@@ -103,6 +103,30 @@ class TestConsistency:
         for k in want:
             np.testing.assert_allclose(got[k], want[k], atol=2e-6, rtol=2e-5)
 
+    @pytest.mark.parametrize("drop", [(), ((0, 2),)])
+    def test_distances_device_path_equals_host(self, drop):
+        from ginfinity_tpu.pipelines.msa import (
+            build_distance_matrix,
+            consistency_round,
+            consistency_rounds_to_distances,
+        )
+
+        rng = np.random.default_rng(8)
+        lengths = [6, 9, 7, 11]
+        post = _random_sparse_posteriors(rng, lengths, topk=4, drop_pairs=drop)
+        want = dict(post)
+        for _ in range(2):
+            want = consistency_round(want, len(lengths), 0.5, 4, 1e-4)
+        D_want = build_distance_matrix(want, len(lengths))
+        D_got = consistency_rounds_to_distances(post, len(lengths), 2, 0.5, 4, 1e-4)
+        np.testing.assert_allclose(D_got, D_want, atol=1e-5)
+        # zero rounds == plain distance matrix
+        np.testing.assert_allclose(
+            consistency_rounds_to_distances(post, len(lengths), 0),
+            build_distance_matrix(post, len(lengths)),
+            atol=1e-6,
+        )
+
     def test_hbm_budget_falls_back_to_host(self):
         from ginfinity_tpu.pipelines.msa import run_consistency_rounds
 
