@@ -234,6 +234,26 @@ def _unshear(diag_major: np.ndarray, b: int, L1: int, L2: int) -> np.ndarray:
     return out
 
 
+@partial(jax.jit, static_argnames=("local",))
+def _posteriors_dense(L, l1, l2, go, ge, local: bool = False):
+    """forward + backward + dense posteriors in ONE program.
+
+    Returns [B, L1, L2] — the diagonal-major state tensors (each ~10x
+    larger than the posteriors) never leave the device, and the
+    unshearing is a gather here instead of a per-diagonal host loop."""
+    B, L1, L2 = L.shape
+    Ms, Z = _forward(L, l1, l2, go, ge, local=local)
+    BMs = _backward(L, l1, l2, go, ge, local=local)
+    # cell (i+1, j+1) lives on diagonal i+j+2 at index i+1
+    ii = jnp.arange(L1)[:, None]
+    jj = jnp.arange(L2)[None, :]
+    dsel = ii + jj + 2
+    isel = jnp.broadcast_to(ii + 1, (L1, L2))
+    Mf = jnp.transpose(Ms, (1, 0, 2))[:, dsel, isel]  # [B, L1, L2]
+    Mb = jnp.transpose(BMs, (1, 0, 2))[:, dsel, isel]
+    return jnp.exp(jnp.clip(Mf + Mb - Z[:, None, None], -80.0, 0.0))
+
+
 def pairhmm_posteriors(
     score_mats: list[np.ndarray], gap_open: float, gap_extend: float,
     mode: str = "global",
@@ -261,25 +281,14 @@ def pairhmm_posteriors(
         L[k, : m.shape[0], : m.shape[1]] = m
         l1[k], l2[k] = m.shape
 
-    Lj = jnp.asarray(L)
-    l1j = jnp.asarray(l1)
-    l2j = jnp.asarray(l2)
-    go = jnp.float32(gap_open)
-    ge = jnp.float32(gap_extend)
-    Ms, Z = _forward(Lj, l1j, l2j, go, ge, local=local)
-    BMs = _backward(Lj, l1j, l2j, go, ge, local=local)
-    Ms = np.asarray(Ms)
-    BMs = np.asarray(BMs)
-    Z = np.asarray(Z)
-
-    out = []
-    for k, m in enumerate(score_mats):
-        la, lb = m.shape
-        Mf = _unshear(Ms, k, L1, L2)[1 : la + 1, 1 : lb + 1]
-        Mb = _unshear(BMs, k, L1, L2)[1 : la + 1, 1 : lb + 1]
-        P = np.exp(np.clip(Mf + Mb - Z[k], -80.0, 0.0)).astype(np.float32)
-        out.append(P)
-    return out
+    P = np.asarray(_posteriors_dense(
+        jnp.asarray(L), jnp.asarray(l1), jnp.asarray(l2),
+        jnp.float32(gap_open), jnp.float32(gap_extend), local=local,
+    ))
+    return [
+        P[k, : m.shape[0], : m.shape[1]].astype(np.float32)
+        for k, m in enumerate(score_mats)
+    ]
 
 
 # --------------------------------------------------------------------------

@@ -842,7 +842,10 @@ def build_parser():
     ap.add_argument("--refine-iters", type=int, default=0)
     ap.add_argument("--num-workers", type=int, default=4, help="Reference CLI compatibility.")
     ap.add_argument("--max-pairs", type=int, default=2000)
-    ap.add_argument("--pair-batch", type=int, default=16, help="Pairs per device batch.")
+    ap.add_argument("--pair-batch", type=int, default=64,
+                    help="Pairs per device batch (the anti-diagonal scan "
+                         "is latency-bound per step, so bigger batches "
+                         "amortize nearly for free; 64 measured best).")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--plot-diagnostics", action="store_true")
     return ap
