@@ -223,17 +223,6 @@ def _backward(L, l1, l2, go, ge, local: bool = False):
     return BMs[::-1]  # [D+1, B, I], diag-major ascending
 
 
-def _unshear(diag_major: np.ndarray, b: int, L1: int, L2: int) -> np.ndarray:
-    """[D+1, I] diagonals -> dense [L1+1, L2+1]."""
-    out = np.full((L1 + 1, L2 + 1), -1e30, np.float32)
-    for d in range(L1 + L2 + 1):
-        i_lo = max(0, d - L2)
-        i_hi = min(d, L1)
-        i = np.arange(i_lo, i_hi + 1)
-        out[i, d - i] = diag_major[d, b, i]
-    return out
-
-
 @partial(jax.jit, static_argnames=("local",))
 def _posteriors_dense(L, l1, l2, go, ge, local: bool = False):
     """forward + backward + dense posteriors in ONE program.
@@ -360,17 +349,46 @@ def profile_align(S: np.ndarray, gap_open: float, gap_extend: float):
     Shapes are ladder-rounded before compilation: progressive alignment
     calls this with a different (L1, L2) at every merge, and per-shape
     TPU compiles would dominate the pipeline."""
+    return profile_align_batch([S], gap_open, gap_extend)[0]
+
+
+@partial(jax.jit, static_argnames=())
+def _profile_dense(S, l1, l2, go, ge):
+    """Wavefront + on-device unshear to dense [B, L1+1, L2+1] M/X/Y."""
+    B, L1, L2 = S.shape
+    Ms, Xs, Ys = _profile_wavefront(S, l1, l2, go, ge)
+    ii = jnp.arange(L1 + 1)[:, None]
+    jj = jnp.arange(L2 + 1)[None, :]
+    dsel = ii + jj  # cell (i, j) lives on diagonal i+j at index i
+    isel = jnp.broadcast_to(ii, (L1 + 1, L2 + 1))
+    un = lambda Zs: jnp.transpose(Zs, (1, 0, 2))[:, dsel, isel]
+    return un(Ms), un(Xs), un(Ys)
+
+
+def profile_align_batch(S_list: list[np.ndarray], gap_open: float,
+                        gap_extend: float):
+    """Batched profile DP: pads every score matrix to the ladder-rounded
+    batch max and runs ONE program; returns per-pair dense (M, X, Y)
+    cropped to the real (L1+1, L2+1)."""
     from ginfinity_tpu.graphs.batching import _round_capacity
 
-    L1, L2 = S.shape
-    P1, P2 = _round_capacity(L1), _round_capacity(L2)
-    Sp = np.full((P1, P2), -1e4, np.float32)
-    Sp[:L1, :L2] = S
-    Ms, Xs, Ys = _profile_wavefront(
-        jnp.asarray(Sp[None]), jnp.asarray([L1], np.int32), jnp.asarray([L2], np.int32),
-        jnp.float32(gap_open), jnp.float32(gap_extend),
+    B = len(S_list)
+    P1 = _round_capacity(max(s.shape[0] for s in S_list))
+    P2 = _round_capacity(max(s.shape[1] for s in S_list))
+    Sp = np.full((B, P1, P2), -1e4, np.float32)
+    l1 = np.zeros(B, np.int32)
+    l2 = np.zeros(B, np.int32)
+    for k, s in enumerate(S_list):
+        Sp[k, : s.shape[0], : s.shape[1]] = s
+        l1[k], l2[k] = s.shape
+    M, X, Y = (
+        np.asarray(z)
+        for z in _profile_dense(
+            jnp.asarray(Sp), jnp.asarray(l1), jnp.asarray(l2),
+            jnp.float32(gap_open), jnp.float32(gap_extend),
+        )
     )
-    M = _unshear(np.asarray(Ms), 0, P1, P2)[: L1 + 1, : L2 + 1]
-    X = _unshear(np.asarray(Xs), 0, P1, P2)[: L1 + 1, : L2 + 1]
-    Y = _unshear(np.asarray(Ys), 0, P1, P2)[: L1 + 1, : L2 + 1]
-    return M, X, Y
+    return [
+        (M[k, : a + 1, : b + 1], X[k, : a + 1, : b + 1], Y[k, : a + 1, : b + 1])
+        for k, (a, b) in enumerate(zip(l1, l2))
+    ]

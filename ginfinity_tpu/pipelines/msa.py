@@ -510,18 +510,27 @@ def initial_profiles(records: list[SequenceRecord]) -> list[Profile]:
     return profiles
 
 
-def merge_profiles(A: Profile, B: Profile, gap_open, gap_extend, seq_weight=0.0) -> Profile:
-    from ginfinity_tpu.ops.pairhmm import profile_align
-
-    La, Lb = A.mu_struct.shape[0], B.mu_struct.shape[0]
+def _profile_score_matrix(A: Profile, B: Profile, seq_weight: float) -> np.ndarray:
     S = A.mu_struct @ B.mu_struct.T
     if seq_weight > 0.0 and A.mu_base is not None and B.mu_base is not None:
         S = (1.0 - seq_weight) * S + seq_weight * (A.mu_base @ B.mu_base.T)
     comp = np.where(
         (A.stem[:, None] >= 0.5) == (B.stem[None, :] >= 0.5), 0.2, 0.0
     ).astype(np.float32)
-    M, X, Y = profile_align((S + comp).astype(np.float32), gap_open, gap_extend)
+    return (S + comp).astype(np.float32)
 
+
+def merge_profiles(A: Profile, B: Profile, gap_open, gap_extend, seq_weight=0.0) -> Profile:
+    from ginfinity_tpu.ops.pairhmm import profile_align
+
+    M, X, Y = profile_align(
+        _profile_score_matrix(A, B, seq_weight), gap_open, gap_extend
+    )
+    return _merge_from_dp(A, B, M, X, Y)
+
+
+def _merge_from_dp(A: Profile, B: Profile, M, X, Y) -> Profile:
+    La, Lb = A.mu_struct.shape[0], B.mu_struct.shape[0]
     # reference value-based traceback (embed_msa.py:1042-1054)
     i, j = La, Lb
     ops = []  # 0 match, 1 gap-in-B, 2 gap-in-A
@@ -599,12 +608,42 @@ def merge_profiles(A: Profile, B: Profile, gap_open, gap_extend, seq_weight=0.0)
 
 
 def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0) -> Profile:
-    def build(node):
+    """Progressive alignment, levelized: every round batches ALL merges
+    whose children are ready into one device DP program (the tree depth,
+    not the merge count, sets the number of sequential device round
+    trips — a 50-leaf balanced tree runs ~6 rounds instead of 49)."""
+    from ginfinity_tpu.ops.pairhmm import profile_align_batch
+
+    if isinstance(tree, int):
+        return seq_profiles[tree]
+
+    internals: list[tuple] = []
+
+    def walk(node):
+        if isinstance(node, int):
+            return
+        walk(node[0])
+        walk(node[1])
+        internals.append(node)
+
+    walk(tree)
+    resolved: dict[int, Profile] = {}
+
+    def get(node):
         if isinstance(node, int):
             return seq_profiles[node]
-        return merge_profiles(build(node[0]), build(node[1]), gap_open, gap_extend, seq_weight)
+        return resolved.get(id(node))
 
-    return build(tree)
+    remaining = internals
+    while remaining:
+        ready = [n for n in remaining if get(n[0]) is not None and get(n[1]) is not None]
+        remaining = [n for n in remaining if get(n[0]) is None or get(n[1]) is None]
+        pairs = [(get(n[0]), get(n[1])) for n in ready]
+        mats = [_profile_score_matrix(a, b, seq_weight) for a, b in pairs]
+        dps = profile_align_batch(mats, gap_open, gap_extend)
+        for n, (a, b), (M, X, Y) in zip(ready, pairs, dps):
+            resolved[id(n)] = _merge_from_dp(a, b, M, X, Y)
+    return resolved[id(tree)]
 
 
 # ==========================================================================
