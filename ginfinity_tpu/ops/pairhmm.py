@@ -280,9 +280,45 @@ def pairhmm_posteriors(
     ]
 
 
-# --------------------------------------------------------------------------
-# Profile-profile DP (max-merge variant; embed_msa.py:874-930 parity)
-# --------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("local", "topk"))
+def _pair_posteriors_from_embs(embs, lens, ia, ib, alpha, beta, go, ge, pmin,
+                               local: bool, topk: int):
+    """Embedding-resident posterior stage for a batch of pairs.
+
+    embs [N, Lcap, d] (rows L2-normalized, zero-padded), lens [N];
+    ia/ib [B] pair indices.  Computes cosine scores, log-odds
+    calibration, forward/backward posteriors, and row∩col top-k
+    sparsification all on device; returns per-pair row-compacted kept
+    entries (kvals/kidx [B, Lcap, k]) plus the expected score — a few
+    hundred KB per batch instead of the ~15 MB of score-matrix upload +
+    dense-posterior download per 64 pairs.
+    """
+    Lcap = embs.shape[1]
+    A = embs[ia]
+    Bm = embs[ib]
+    S = jnp.einsum("bld,bmd->blm", A, Bm, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    l1 = lens[ia]
+    l2 = lens[ib]
+    rows = jnp.arange(Lcap)
+    mask = (rows[None, :, None] < l1[:, None, None]) & (
+        rows[None, None, :] < l2[:, None, None]
+    )
+    x = alpha * S + beta
+    p = jnp.clip(jax.nn.sigmoid(x), 1e-6, 1.0 - 1e-6)
+    L = jnp.where(mask, jnp.log(p) - jnp.log1p(-p), -1e4)
+    P = _posteriors_dense(L, l1, l2, go, ge, local=local)
+
+    k = min(topk, Lcap)
+    row_kth = jax.lax.top_k(P, k)[0][..., -1:]
+    col_kth = jnp.swapaxes(
+        jax.lax.top_k(jnp.swapaxes(P, -1, -2), k)[0][..., -1:], -1, -2
+    )
+    keep = (P >= row_kth) & (P >= col_kth) & (P >= pmin) & mask
+    Pk = jnp.where(keep, P, 0.0)
+    expected = jnp.sum(S * Pk, axis=(-1, -2))
+    kvals, kidx = jax.lax.top_k(Pk, k)  # kept entries sit in the row top-k
+    return kvals, kidx.astype(jnp.int32), expected
 
 
 @jax.jit

@@ -136,6 +136,64 @@ class TestConsistency:
         assert set(got) == set(post)
 
 
+class TestEmbeddingResidentPosteriors:
+    def test_matches_host_score_path(self):
+        """The device-resident posterior stage (embeddings -> scores ->
+        calibration -> posteriors -> sparsify, one program) must equal
+        the host score path."""
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.graphs.batching import _round_capacity
+        from ginfinity_tpu.ops.pairhmm import (
+            _pair_posteriors_from_embs,
+            pairhmm_posteriors,
+        )
+        from ginfinity_tpu.pipelines.msa import (
+            _l2_normalize_rows,
+            calibrate_log_odds,
+            sparsify_topk_mask,
+        )
+
+        rng = np.random.default_rng(3)
+        lengths = [14, 9, 12]
+        embs_list = [
+            _l2_normalize_rows(rng.normal(size=(L, 8)).astype(np.float32))
+            for L in lengths
+        ]
+        pairs = [(0, 1), (0, 2), (1, 2)]
+        alpha, beta, go, ge, topk = 5.0, 0.0, -6.0, -0.5, 4
+
+        Lcap = _round_capacity(max(lengths))
+        embs = np.zeros((3, Lcap, 8), np.float32)
+        lens = np.zeros(3, np.int32)
+        for i, e in enumerate(embs_list):
+            embs[i, : e.shape[0]] = e
+            lens[i] = e.shape[0]
+        ia = np.array([p[0] for p in pairs], np.int32)
+        ib = np.array([p[1] for p in pairs], np.int32)
+        kv, ki, ex = _pair_posteriors_from_embs(
+            jnp.asarray(embs), jnp.asarray(lens), jnp.asarray(ia), jnp.asarray(ib),
+            jnp.float32(alpha), jnp.float32(beta), jnp.float32(go), jnp.float32(ge),
+            jnp.float32(1e-4), False, topk,
+        )
+        kv, ki, ex = np.asarray(kv), np.asarray(ki), np.asarray(ex)
+
+        for t, (a, b) in enumerate(pairs):
+            S = embs_list[a] @ embs_list[b].T
+            P = pairhmm_posteriors([calibrate_log_odds(S, alpha, beta)], go, ge)[0]
+            keep = sparsify_topk_mask(P, topk, 1e-4)
+            want = np.where(keep, P, 0.0)
+            la, lb = lengths[a], lengths[b]
+            got = np.zeros((la, lb), np.float32)
+            rows_i = np.repeat(np.arange(la), topk)
+            vals = kv[t, :la].ravel()
+            cols = ki[t, :la].ravel()
+            nz = vals > 0
+            got[rows_i[nz], cols[nz]] = vals[nz]
+            np.testing.assert_allclose(got, want, atol=1e-5)
+            np.testing.assert_allclose(ex[t], (S * want).sum(), rtol=1e-4)
+
+
 class TestGuideTree:
     @staticmethod
     def _oracle_tree(D, method):
