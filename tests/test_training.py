@@ -473,3 +473,27 @@ class TestTrainCLI:
         ])
         assert (tmp_path / "output" / "s1" / "round_01" / "s1_round_01.pth").exists()
         assert (tmp_path / "output" / "s1" / "round_02" / "s1_round_02.pth").exists()
+
+
+class TestForgiTraining:
+    def test_triplet_forgi_end_to_end(self, triplet_tsv, tmp_path, monkeypatch):
+        """Training with the forgi encoding must run end-to-end and export
+        a checkpoint whose metadata records the encoding (16/7 feature
+        dims, gin_model.py:55 rules)."""
+        from ginfinity_tpu.models.checkpoint import import_torch_checkpoint
+        from ginfinity_tpu.training.train_cli import main
+
+        monkeypatch.chdir(tmp_path)
+        main([
+            "--input_path", triplet_tsv, "--model_id", "fg",
+            "--training_mode", "triplet", "--graph_encoding", "forgi",
+            "--hidden_dim", "8", "--gin_layers", "1", "--output_dim", "4",
+            "--batch_size", "8", "--num_epochs", "1", "--lr", "0.01",
+            "--decay_rate", "1.0", "--val_fraction", "0.25",
+        ])
+        cfg, params, state, _ = import_torch_checkpoint(
+            str(tmp_path / "output" / "fg" / "fg.pth")
+        )
+        assert cfg.graph_encoding == "forgi"
+        assert cfg.node_feature_dim == 16
+        assert cfg.edge_feature_dim == 7
