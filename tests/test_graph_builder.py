@@ -94,3 +94,50 @@ class TestStandardBuilder:
     def test_legacy_feature_dim(self):
         ga = build_standard("((..))", feature_dim=3)
         assert ga.node_feat.shape[1] == 3
+
+
+def _random_structures(rng, n, max_len=80):
+    """Random valid dot-brackets: nested parens + noise dots + occasional
+    pseudoknot bracket pairs."""
+    out = []
+    for _ in range(n):
+        L = int(rng.integers(4, max_len))
+        chars = ["."] * L
+        # random nested pairs
+        stack = []
+        for i in range(L):
+            r = rng.random()
+            if r < 0.35:
+                stack.append(i)
+                chars[i] = "("
+            elif r < 0.6 and stack:
+                j = stack.pop()
+                chars[i] = ")"
+        for j in stack:  # unmatched opens -> dots
+            chars[j] = "."
+        # sprinkle one pseudoknot pair if room
+        dots = [i for i, c in enumerate(chars) if c == "."]
+        if len(dots) >= 2 and rng.random() < 0.5:
+            a, b = sorted(rng.choice(dots, size=2, replace=False))
+            chars[a], chars[b] = "[", "]"
+        out.append("".join(chars))
+    return out
+
+
+class TestStandardBuilderFuzz:
+    @pytest.mark.parametrize("seq_weight", [0.0, 0.5])
+    def test_random_structures_match_reference(self, reference_utils, seq_weight):
+        """Property fuzz: 60 random structures (nested pairs, dots,
+        pseudoknots) — node features and edge sets must equal the
+        reference builder exactly."""
+        rng = np.random.default_rng(17)
+        for s in _random_structures(rng, 60):
+            seq = "".join(rng.choice(list("ACGU"), size=len(s)))
+            ga = build_standard(s, seq, seq_weight=seq_weight)
+            ref_x, ref_edges = _reference_tensors(reference_utils, s, seq, seq_weight)
+            np.testing.assert_allclose(ga.node_feat, ref_x, atol=1e-6, err_msg=s)
+            ours = {
+                (int(ga.edge_src[k]), int(ga.edge_dst[k])): tuple(np.round(ga.edge_attr[k], 6))
+                for k in range(ga.n_edges)
+            }
+            assert ours == ref_edges, f"edge mismatch for {s}"
