@@ -135,8 +135,17 @@ def generate_window_embeddings(
         cfg = cfg.with_precision(precision)
     model = GINModel(cfg, params, state)
 
-    structures = input_df[structure_column].astype(str).tolist()
-    ids = input_df[id_column].tolist()
+    from ginfinity_tpu.graphs.dotbracket import pair_table
+
+    structures = []
+    ids = []
+    for rid, s in zip(input_df[id_column], input_df[structure_column]):
+        # skip invalid rows like the standard path (logged, not fatal)
+        if not isinstance(s, str) or pair_table(s, strict=False) is None:
+            log_information(log_path, {"skipped_invalid_structure": f"ID {rid}"})
+            continue
+        structures.append(s)
+        ids.append(rid)
     results = embed_corpus_windows(
         model, structures, window_size, keep_paired_neighbors, mask_threshold
     )

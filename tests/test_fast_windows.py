@@ -113,3 +113,23 @@ class TestFusedWindowCLI:
         va = np.array([[float(x) for x in v.split(",")] for v in a["embedding_vector"]])
         vb = np.array([[float(x) for x in v.split(",")] for v in b["embedding_vector"]])
         np.testing.assert_allclose(va, vb, atol=2e-4)
+
+    def test_fused_mode_skips_invalid_structures(self, tmp_path):
+        """Invalid rows must be skipped-and-logged like the standard
+        path, not crash the fused window mode."""
+        from ginfinity_tpu.pipelines.embed import main as embed_main
+
+        df = pd.DataFrame({
+            "rid": ["bad", "ok"],
+            "secondary_structure": ["((..", "." * 30 + "((((....))))" + "." * 30],
+        })
+        inp = tmp_path / "edge.csv"
+        df.to_csv(inp, index=False)
+        out = tmp_path / "w.tsv"
+        embed_main(["--input", str(inp), "--id-column", "rid",
+                    "--output", str(out), "--window-size", "50", "--quiet",
+                    "--model-path", CKPT])
+        w = pd.read_csv(out, sep="\t")
+        assert set(w["rid"]) == {"ok"} and len(w) > 0
+        log = (tmp_path / "w.log").read_text()
+        assert "skipped_invalid_structure" in log
