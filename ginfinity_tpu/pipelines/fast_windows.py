@@ -55,10 +55,16 @@ def _compact(flags, values_list, cap: int):
     return outs, occ
 
 
-def _window_batch(feat, pt, start, L: int, keep_paired_neighbors: bool,
+def _window_batch(feats_all, pts_all, si, start, L: int,
+                  keep_paired_neighbors: bool,
                   p_cap: int = None, b_cap: int = None,
                   include_backbone: bool = True):
     """Build one window's GraphBatch (single graph) inside jit.
+
+    ``feats_all [S, n_cap, F]`` / ``pts_all [S, n_cap]`` are the stacked
+    per-structure arrays and ``si`` the structure slot — rows are
+    gathered directly (``feats_all[si, idx]``) so vmapping never
+    materializes whole structure slabs per window.
 
     ``p_cap``/``b_cap`` bound the pulled-partner and in-window base-pair
     slot counts (compact layout); ``None`` falls back to the loose upper
@@ -71,7 +77,7 @@ def _window_batch(feat, pt, start, L: int, keep_paired_neighbors: bool,
     if b_cap is None:
         b_cap = L
     idx = start + jnp.arange(L, dtype=jnp.int32)  # original positions
-    partner = pt[idx]
+    partner = pts_all[si, idx]
     has_pair = partner >= 0
     adj_pair = jnp.abs(partner - idx) == 1  # 'adjacent' edge in the reference
     bp_real = has_pair & ~adj_pair
@@ -80,17 +86,18 @@ def _window_batch(feat, pt, start, L: int, keep_paired_neighbors: bool,
     local = jnp.arange(L, dtype=jnp.int32)
 
     # nodes: [L + p_cap, F]; pulled partners compacted into the tail slots
-    partner_feat = feat[jnp.clip(partner, 0)]
+    feat_window = feats_all[si, idx]
+    partner_feat = feats_all[si, jnp.clip(partner, 0)]
     if p_cap > 0:
         (pulled_feat, pl_src, pl_fwd), pl_occ = _compact(
             pulled,
             [partner_feat, local, (idx < partner).astype(jnp.float32)],
             p_cap,
         )
-        node_feat = jnp.concatenate([feat[idx], pulled_feat])
+        node_feat = jnp.concatenate([feat_window, pulled_feat])
         node_mask = jnp.concatenate([jnp.ones(L, jnp.float32), pl_occ])
     else:
-        node_feat = feat[idx]
+        node_feat = feat_window
         node_mask = jnp.ones(L, jnp.float32)
 
     # backbone edges (both directions): (i, i-1) for i in 1..L-1 — dense
@@ -199,8 +206,9 @@ def _embed_windows_jit(config: GINConfig, params, state, feat, pt, starts,
 
     def chunk_fn(st):
         wb = jax.vmap(
-            lambda s: _window_batch(feat, pt, s, L, keep_paired_neighbors,
-                                    p_cap, b_cap, include_backbone=not dense)
+            lambda s: _window_batch(feat[None], pt[None], 0, s, L,
+                                    keep_paired_neighbors, p_cap, b_cap,
+                                    include_backbone=not dense)
         )(st)
         if dense:
             return _forward_windows_dense(config, params, state, wb, chunk, n_per, L)
@@ -423,7 +431,7 @@ def _embed_windows_stacked_jit(config: GINConfig, params, state, feats, pts,
     dense = _dense_forward_ok(config)
 
     def build_one(si, st):
-        return _window_batch(feats[si], pts[si], st, L, keep_paired_neighbors,
+        return _window_batch(feats, pts, si, st, L, keep_paired_neighbors,
                              p_cap, b_cap, include_backbone=not dense)
 
     def chunk_fn(args):
