@@ -228,9 +228,10 @@ def _traceback_local(TH, H_unused, l1, l2, bi, bj):
 
 
 def _pallas_eligible(L1: int, L2: int, mode: str) -> bool:
-    """Use the Pallas VMEM kernel on TPU for global-mode batches whose
-    sheared score + code planes fit in VMEM (see ops.pallas_dp)."""
-    if mode != "global":
+    """Use the Pallas VMEM kernel on TPU (global and local modes) for
+    batches whose sheared score + code planes fit in VMEM
+    (see ops.pallas_dp)."""
+    if mode not in ("global", "local"):
         return False
     import jax
 
@@ -257,9 +258,9 @@ def affine_align_batch(
         L1 = max(m.shape[0] for m in score_mats)
         L2 = max(m.shape[1] for m in score_mats)
         if backend == "pallas" or _pallas_eligible(L1, L2, mode):
-            from ginfinity_tpu.ops.pallas_dp import nw_align_batch_pallas
+            from ginfinity_tpu.ops.pallas_dp import align_batch_pallas
 
-            return nw_align_batch_pallas(score_mats, gap_open, gap_extend)
+            return align_batch_pallas(score_mats, gap_open, gap_extend, mode)
     from ginfinity_tpu.graphs.batching import _round_capacity
 
     B = len(score_mats)
