@@ -280,9 +280,11 @@ def pairhmm_posteriors(
     ]
 
 
-@partial(jax.jit, static_argnames=("local", "topk"))
+@partial(jax.jit, static_argnames=("local", "topk", "use_base"))
 def _pair_posteriors_from_embs(embs, lens, ia, ib, alpha, beta, go, ge, pmin,
-                               local: bool, topk: int):
+                               local: bool, topk: int,
+                               base_embs=None, has_base=None, seq_weight=None,
+                               use_base: bool = False):
     """Embedding-resident posterior stage for a batch of pairs.
 
     embs [N, Lcap, d] (rows L2-normalized, zero-padded), lens [N];
@@ -292,12 +294,24 @@ def _pair_posteriors_from_embs(embs, lens, ia, ib, alpha, beta, go, ge, pmin,
     entries (kvals/kidx [B, Lcap, k]) plus the expected score — a few
     hundred KB per batch instead of the ~15 MB of score-matrix upload +
     dense-posterior download per 64 pairs.
+
+    ``use_base=True`` blends base-embedding cosine similarities by
+    ``seq_weight`` for pairs where BOTH records carry base embeddings
+    (``has_base`` [N] 0/1; reference embed_msa.py dual-modality rule).
     """
     Lcap = embs.shape[1]
     A = embs[ia]
     Bm = embs[ib]
     S = jnp.einsum("bld,bmd->blm", A, Bm, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
+    if use_base:
+        Sb = jnp.einsum(
+            "bld,bmd->blm", base_embs[ia], base_embs[ib],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        wb = (seq_weight * has_base[ia] * has_base[ib])[:, None, None]
+        S = (1.0 - wb) * S + wb * Sb
     l1 = lens[ia]
     l2 = lens[ib]
     rows = jnp.arange(Lcap)

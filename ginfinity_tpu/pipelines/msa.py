@@ -891,7 +891,6 @@ def build_parser():
 
 
 def main(argv=None):
-    from ginfinity_tpu.ops.pairhmm import pairhmm_posteriors
 
     args = build_parser().parse_args(argv)
     random.seed(args.seed)
@@ -949,19 +948,20 @@ def main(argv=None):
     post: dict[tuple[int, int], np.ndarray] = {}
     expected_scores = np.zeros((N, N), np.float32)
     heatmaps: list[tuple[tuple[int, int], np.ndarray]] = []
-    # Embedding-resident fast path: embeddings upload once, scores /
-    # calibration / posteriors / sparsification run on device, only
-    # row-compacted kept entries come back (a few hundred KB per batch
-    # vs ~15 MB of score upload + dense-posterior download per 64
-    # pairs).  Dual-modality blending (--seq-weight with base
-    # embeddings) keeps the host score path.
-    use_base = args.seq_weight > 0.0 and any(r.base_emb is not None for r in records)
-    if pairs and not use_base:
+    # Embedding-resident pairwise stage: embeddings upload once, scores
+    # (incl. dual-modality blending), calibration, posteriors, and
+    # sparsification run on device; only row-compacted kept entries come
+    # back (a few hundred KB per batch vs ~15 MB of score upload +
+    # dense-posterior download per 64 pairs).
+    if pairs:
         import jax.numpy as jnp
 
         from ginfinity_tpu.graphs.batching import _round_capacity
         from ginfinity_tpu.ops.pairhmm import _pair_posteriors_from_embs
 
+        use_base = args.seq_weight > 0.0 and any(
+            r.base_emb is not None for r in records
+        )
         Lcap = _round_capacity(max(r.emb.shape[0] for r in records))
         dim = records[0].emb.shape[1]
         embs = np.zeros((N, Lcap, dim), np.float32)
@@ -969,6 +969,23 @@ def main(argv=None):
         for i, r in enumerate(records):
             embs[i, : r.emb.shape[0]] = r.emb
             lens[i] = r.emb.shape[0]
+        base_kw = {}
+        if use_base:
+            bdim = max(
+                r.base_emb.shape[1] for r in records if r.base_emb is not None
+            )
+            base = np.zeros((N, Lcap, bdim), np.float32)
+            has_base = np.zeros(N, np.float32)
+            for i, r in enumerate(records):
+                if r.base_emb is not None and r.base_emb.shape[1] == bdim:
+                    base[i, : r.base_emb.shape[0]] = r.base_emb
+                    has_base[i] = 1.0
+            base_kw = {
+                "base_embs": jnp.asarray(base),
+                "has_base": jnp.asarray(has_base),
+                "seq_weight": jnp.float32(args.seq_weight),
+                "use_base": True,
+            }
         embs_d = jnp.asarray(embs)
         lens_d = jnp.asarray(lens)
         bs = max(1, int(args.pair_batch))
@@ -983,7 +1000,7 @@ def main(argv=None):
                 embs_d, lens_d, jnp.asarray(ia), jnp.asarray(ib),
                 jnp.float32(alpha), jnp.float32(beta),
                 jnp.float32(args.gap_open), jnp.float32(args.gap_extend),
-                jnp.float32(1e-4), args.use_local, k,
+                jnp.float32(1e-4), args.use_local, k, **base_kw,
             )
             kv = np.asarray(kv)
             ki = np.asarray(ki)
@@ -998,35 +1015,6 @@ def main(argv=None):
                 Pk[rows_i[nz], cols[nz]] = vals[nz]
                 post[(a, b)] = Pk
                 expected_scores[a, b] = expected_scores[b, a] = float(ex[t])
-                if args.plot_diagnostics and len(heatmaps) < 6:
-                    heatmaps.append(((a, b), Pk))
-    else:
-        # host score path (dual-modality blending, embed_msa.py:576-613)
-        for s in range(0, len(pairs), args.pair_batch):
-            chunk = pairs[s : s + args.pair_batch]
-            mats = []
-            sims = []
-            for a, b in chunk:
-                S = records[a].emb @ records[b].emb.T
-                if (
-                    records[a].base_emb is not None
-                    and records[b].base_emb is not None
-                    and records[a].base_emb.shape[0] == S.shape[0]
-                    and records[b].base_emb.shape[0] == S.shape[1]
-                ):
-                    Sb = records[a].base_emb @ records[b].base_emb.T
-                    S = (1.0 - args.seq_weight) * S + args.seq_weight * Sb
-                sims.append(S.astype(np.float32))
-                mats.append(calibrate_log_odds(S, alpha, beta))
-            Ps = pairhmm_posteriors(
-                mats, args.gap_open, args.gap_extend,
-                mode="local" if args.use_local else "global",
-            )
-            for (a, b), P, S in zip(chunk, Ps, sims):
-                keep = sparsify_topk_mask(P, args.topk, 1e-4)
-                Pk = np.where(keep, P, 0.0).astype(np.float32)
-                post[(a, b)] = Pk
-                expected_scores[a, b] = expected_scores[b, a] = float((S * Pk).sum())
                 if args.plot_diagnostics and len(heatmaps) < 6:
                     heatmaps.append(((a, b), Pk))
 

@@ -452,3 +452,44 @@ class TestMSACLI:
         # no gaps needed for near-identical sequences
         assert all("-" not in s for s in aln["Aligned"]), list(aln["Aligned"])
         assert all(s == "((((............))))" for s in aln["Aligned"])
+
+
+class TestDualModalityDevicePath:
+    def test_seq_weight_blend_on_device(self, tmp_path):
+        """--seq-weight with base embeddings must blend on device: the
+        MSA runs end-to-end, and pairs where both records carry base
+        embeddings use the blended similarity (expected scores change
+        vs seq_weight=0)."""
+        import json
+
+        from ginfinity_tpu.pipelines.msa import main
+
+        rng = np.random.default_rng(6)
+        L, d, db = 14, 8, 6
+        base_struct = rng.normal(size=(L, d)).astype(np.float32)
+        base_base = rng.normal(size=(L, db)).astype(np.float32)
+        rows = []
+        for k in range(3):
+            emb = base_struct + 0.05 * rng.normal(size=(L, d)).astype(np.float32)
+            row = {"Name": f"r{k}", "node_embeddings": json.dumps(emb.round(6).tolist())}
+            if k < 2:  # third record has NO base embeddings
+                bemb = base_base + 0.05 * rng.normal(size=(L, db)).astype(np.float32)
+                row["base_embeddings"] = json.dumps(bemb.round(6).tolist())
+            rows.append(row)
+        inp = tmp_path / "in.tsv"
+        pd.DataFrame(rows).to_csv(inp, sep="\t", index=False)
+
+        metas = {}
+        for w in ("0.0", "0.6"):
+            prefix = str(tmp_path / f"w{w}" / "msa")
+            main(["--input", str(inp), "--base-embeds-col", "base_embeddings",
+                  "--seq-weight", w, "--out-prefix", prefix,
+                  "--alpha", "5.0", "--beta", "0.0"])
+            with open(prefix + ".diagnostics/run_meta.json") as f:
+                metas[w] = json.load(f)["expected_scores"]
+        e0 = np.array(metas["0.0"])
+        e6 = np.array(metas["0.6"])
+        # pair (0,1): both have base embeddings -> blend changes the score
+        assert abs(e0[0][1] - e6[0][1]) > 1e-6
+        # pair (0,2): record 2 has none -> blend is a no-op
+        np.testing.assert_allclose(e0[0][2], e6[0][2], rtol=1e-5)
