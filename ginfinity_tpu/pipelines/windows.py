@@ -238,8 +238,9 @@ def main(argv=None):
             )
 
     save_windows_graphs(graphs_npz, graph_map)
-    meta_df = pd.DataFrame(meta_list)
     leading = ["window_id", args.id_column, "window_start", "window_end", "seq_len"]
+    # no structure long enough -> header-only metadata, not a crash
+    meta_df = pd.DataFrame(meta_list, columns=leading if not meta_list else None)
     others = [c for c in meta_df.columns if c not in leading]
     meta_df = meta_df[leading + others]
     meta_df.to_csv(meta_tsv, sep="\t", index=False, na_rep="NaN")

@@ -224,3 +224,22 @@ class TestDistancesTopK:
         assert (t["rid_1"] == "r3").all()
         assert "r3" not in set(t["rid_2"])
         assert t["distance"].is_monotonic_increasing
+
+
+class TestWindowsEdgeCases:
+    def test_no_structure_long_enough(self, tmp_path):
+        """L larger than every structure must yield empty (header-only)
+        outputs, not a crash."""
+        from ginfinity_tpu.pipelines.windows import load_windows_graphs, main
+
+        inp = tmp_path / "short.csv"
+        pd.DataFrame({"rid": ["s"], "secondary_structure": ["((..))"]}).to_csv(
+            inp, index=False
+        )
+        outdir = tmp_path / "wd"
+        main(["--input", str(inp), "--output-dir", str(outdir),
+              "--id-column", "rid", "--L", "500", "--quiet"])
+        meta = pd.read_csv(outdir / "windows_metadata.tsv", sep="\t")
+        assert len(meta) == 0
+        assert "window_id" in meta.columns
+        assert load_windows_graphs(str(outdir / "windows_graphs.npz")) == {}
