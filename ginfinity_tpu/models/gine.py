@@ -79,7 +79,7 @@ class GINConfig:
         gin_layers: int = 1,
         graph_encoding: str = "standard",
         node_feature_dim: int | None = None,
-        edge_feature_dim: int | None = 4,
+        edge_feature_dim: int | None = None,  # None = derive from encoding
         **kw: Any,
     ) -> "GINConfig":
         """Constructor with the reference's defaulting rules
