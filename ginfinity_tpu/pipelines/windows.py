@@ -133,16 +133,31 @@ def structure_to_windows(
 
 
 def save_windows_graphs(path: str, graph_map: dict[str, GraphArrays]):
-    """Window ids live in a manifest array; per-window arrays are keyed by
-    position (zipfile member names cannot carry arbitrary id strings)."""
-    arrays = {"manifest": np.array(list(graph_map.keys()))}
-    for k, g in enumerate(graph_map.values()):
-        arrays[f"g{k}_feat"] = g.node_feat
-        arrays[f"g{k}_src"] = g.edge_src
-        arrays[f"g{k}_dst"] = g.edge_dst
-        arrays[f"g{k}_attr"] = g.edge_attr
-        arrays[f"g{k}_nb"] = np.array([g.n_nodes, g.n_base_nodes], np.int32)
-    np.savez_compressed(path, **arrays)
+    """Packed columnar npz: every graph's arrays concatenate into ONE
+    member per field plus offset tables.  The previous one-member-per-
+    graph layout cost a zip member read per array (138k reads / 250 s
+    to load a 23k-window corpus); this loads in under a second."""
+    wids = list(graph_map.keys())
+    if not wids:
+        np.savez_compressed(path, manifest=np.array([], dtype=str))
+        return
+    graphs = list(graph_map.values())
+    node_offsets = np.zeros(len(graphs) + 1, np.int64)
+    edge_offsets = np.zeros(len(graphs) + 1, np.int64)
+    for k, g in enumerate(graphs):
+        node_offsets[k + 1] = node_offsets[k] + g.node_feat.shape[0]
+        edge_offsets[k + 1] = edge_offsets[k] + g.edge_src.shape[0]
+    np.savez_compressed(
+        path,
+        manifest=np.array(wids),
+        node_offsets=node_offsets,
+        edge_offsets=edge_offsets,
+        node_feat=np.concatenate([g.node_feat for g in graphs]),
+        edge_src=np.concatenate([g.edge_src for g in graphs]),
+        edge_dst=np.concatenate([g.edge_dst for g in graphs]),
+        edge_attr=np.concatenate([g.edge_attr for g in graphs]),
+        nb=np.array([[g.n_nodes, g.n_base_nodes] for g in graphs], np.int32),
+    )
 
 
 def load_windows_graphs(path: str) -> dict[str, GraphArrays]:
@@ -151,6 +166,29 @@ def load_windows_graphs(path: str) -> dict[str, GraphArrays]:
     out: dict[str, GraphArrays] = {}
     with np.load(path) as z:
         wids = [str(w) for w in z["manifest"]]
+        if not wids:
+            return out
+        if "node_offsets" in z.files:  # packed columnar format
+            no = z["node_offsets"]
+            eo = z["edge_offsets"]
+            feat = z["node_feat"]
+            src = z["edge_src"]
+            dst = z["edge_dst"]
+            attr = z["edge_attr"]
+            nb = z["nb"]
+            for k, wid in enumerate(wids):
+                ns, ne = no[k], no[k + 1]
+                es, ee = eo[k], eo[k + 1]
+                out[wid] = GraphArrays(
+                    node_feat=feat[ns:ne],
+                    edge_src=src[es:ee],
+                    edge_dst=dst[es:ee],
+                    edge_attr=attr[es:ee],
+                    n_nodes=int(nb[k, 0]),
+                    n_base_nodes=int(nb[k, 1]),
+                )
+            return out
+        # legacy one-member-per-graph layout (r1 archives)
         for k, wid in enumerate(wids):
             nb = z[f"g{k}_nb"]
             out[wid] = GraphArrays(
