@@ -2,11 +2,12 @@
 an external RNA language model.
 
 Reference CLI parity: src/ginfinity/scripts/generate_base_embeddings.py
-(RiNALMo ``giga-v1``; per-base embeddings, BOS/EOS trimming, JSON-matrix
-TSV output).  RiNALMo is an optional external dependency in the
-reference as well; when unavailable this pipeline exits with a clear
-message.  The output column (``base_embeddings``) feeds --seq-weight
-blending in the aligners and the MSA engine.
+(RiNALMo ``giga-v1``; per-base embeddings, BOS/EOS trimming with the
+center-crop fallback, keep-cols propagation, JSON-matrix TSV output).
+RiNALMo is an optional external dependency in the reference as well;
+when unavailable this pipeline exits with a clear message.  The output
+column (``base_embeddings``) feeds --seq-weight blending in the
+aligners and the MSA engine.
 """
 
 from __future__ import annotations
@@ -15,10 +16,8 @@ import argparse
 import json
 import os
 
-import numpy as np
 
-
-def _load_rinalmo():
+def _load_rinalmo(model_name: str = "giga-v1"):
     try:
         import torch  # noqa: F401
         from rinalmo.pretrained import get_pretrained_model
@@ -28,64 +27,115 @@ def _load_rinalmo():
             "is required for base embeddings. Install it or skip this step; "
             "all downstream tools accept --seq-weight 0 (structure only)."
         ) from exc
-    model, alphabet = get_pretrained_model(model_name="giga-v1")
+    model, alphabet = get_pretrained_model(model_name=model_name)
     model.eval()
     return model, alphabet
 
 
+def _trim_special(mat, seq_len: int):
+    """BOS/EOS trim with the reference's conservative center-crop fallback
+    (generate_base_embeddings.py:97-107)."""
+    Lr = mat.shape[0]
+    if Lr == seq_len + 2:
+        return mat[1:-1]
+    if Lr != seq_len and Lr > seq_len and seq_len > 0:
+        start = max(0, (Lr - seq_len) // 2)
+        end = min(Lr, start + seq_len)
+        if end - start == seq_len:
+            return mat[start:end]
+    return mat
+
+
 def generate_base_embeddings(df, output_path, id_column, sequence_column,
-                             batch_size=8, quiet=False):
+                             batch_size=8, quiet=False, keep_cols=None,
+                             model_name="giga-v1", use_amp=True,
+                             trim_special=True):
     import pandas as pd
     import torch
 
-    model, alphabet = _load_rinalmo()
+    model, alphabet = _load_rinalmo(model_name)
     rows = []
     seqs = df[sequence_column].astype(str).str.upper().str.replace("T", "U").tolist()
     ids = df[id_column].tolist()
+    keep_cols = [c for c in (keep_cols or []) if c in df.columns]
+    use_amp = use_amp and torch.cuda.is_available()
     with torch.no_grad():
         for s in range(0, len(seqs), batch_size):
             chunk = seqs[s : s + batch_size]
             tokens = torch.tensor(alphabet.batch_tokenize(chunk), dtype=torch.int64)
-            out = model(tokens)["representation"]
+            if use_amp:  # pragma: no cover - CUDA-only branch
+                with torch.autocast("cuda"):
+                    out = model(tokens)["representation"]
+            else:
+                out = model(tokens)["representation"]
             for k, seq in enumerate(chunk):
-                rep = out[k, 1 : 1 + len(seq)].float().cpu().numpy()  # trim BOS/EOS
-                rows.append(
-                    {
-                        id_column: ids[s + k],
-                        "base_embeddings": json.dumps(
-                            [[round(float(x), 6) for x in r] for r in rep],
-                            separators=(",", ":"),
-                        ),
-                    }
-                )
-    pd.DataFrame(rows).to_csv(output_path, sep="\t", index=False)
+                rep = out[k].float().cpu().numpy()
+                if trim_special:
+                    rep = _trim_special(rep, len(seq))
+                row = {
+                    id_column: ids[s + k],
+                    "seq_len": int(rep.shape[0]),
+                    "base_embeddings": json.dumps(
+                        [[round(float(x), 6) for x in r] for r in rep],
+                        separators=(",", ":"),
+                    ),
+                }
+                for c in keep_cols:
+                    row[c] = df.iloc[s + k][c]
+                rows.append(row)
+    out_df = pd.DataFrame(rows)
+    cols = [id_column, "seq_len", "base_embeddings"]
+    out_df = out_df[cols + sorted(c for c in out_df.columns if c not in cols)]
+    out_df.to_csv(output_path, sep="\t", index=False, na_rep="NaN")
     if not quiet:
         print(f"Base embeddings saved to {output_path}")
 
 
-def main(argv=None):
-    import pandas as pd
-
+def build_parser():
     parser = argparse.ArgumentParser(
         description="Per-nucleotide embeddings from the RiNALMo RNA language model."
     )
     parser.add_argument("--input", required=True)
     parser.add_argument("--output", required=True)
     parser.add_argument("--id-column", required=True)
-    parser.add_argument("--sequence-column", default="sequence")
+    parser.add_argument("--sequence-column-name", "--sequence-column",
+                        dest="sequence_column", default="sequence")
+    parser.add_argument("--keep-cols", default=None,
+                        help="Comma-separated extra columns to carry through.")
+    parser.add_argument("--model-name", default="giga-v1",
+                        help="RiNALMo pretrained model name.")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--device", default=None, help="Reference CLI compatibility.")
+    parser.add_argument("--no-amp", dest="use_amp", action="store_false",
+                        default=True,
+                        help="Disable autocast (only active on CUDA anyway).")
+    parser.add_argument("--no-trim-special", dest="trim_special",
+                        action="store_false", default=True,
+                        help="Keep BOS/EOS rows instead of trimming.")
     parser.add_argument("--quiet", action="store_true")
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None):
+    import pandas as pd
+
+    args = build_parser().parse_args(argv)
 
     sep = "\t" if args.input.endswith(".tsv") else ","
     df = pd.read_csv(args.input, sep=sep)
     for col in (args.id_column, args.sequence_column):
         if col not in df.columns:
             raise ValueError(f"Column '{col}' not found in input.")
+    keep_cols = (
+        [c.strip() for c in args.keep_cols.split(",") if c.strip()]
+        if args.keep_cols
+        else None
+    )
     os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
     generate_base_embeddings(
-        df, args.output, args.id_column, args.sequence_column, args.batch_size, args.quiet
+        df, args.output, args.id_column, args.sequence_column,
+        args.batch_size, args.quiet, keep_cols, args.model_name,
+        args.use_amp, args.trim_special,
     )
 
 

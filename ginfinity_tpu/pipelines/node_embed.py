@@ -139,6 +139,8 @@ def main(argv=None):
     parser.add_argument("--seq-weight", type=float, default=None)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--debug", action="store_true", help="Verbose per-stage timing logs.")
+    parser.add_argument("--debug-preprocessing", dest="debug", action="store_true",
+                        help="Reference flag; folds into the same verbose mode.")
     args = parser.parse_args(argv)
 
     if args.model_path is None:

@@ -100,6 +100,8 @@ def run_trial(args, outbase: Path, trial_id: str, params: dict) -> float:
         argv += ["--dotbracket-col", args.dotbracket_col]
     if args.paired_col:
         argv += ["--paired-col", args.paired_col]
+    if args.plot_diagnostics:
+        argv += ["--plot-diagnostics"]
     t0 = time.time()
     try:
         msa_main(argv)
@@ -151,6 +153,13 @@ def main(argv=None):
     ap.add_argument("--discard-outputs", dest="keep_outputs", action="store_false")
     ap.add_argument("--name-a", required=True)
     ap.add_argument("--name-b", required=True)
+    # reference defaults both True (optimize_embed_msa.py:236,249)
+    ap.add_argument("--plot-diagnostics", action="store_true", default=True)
+    ap.add_argument("--no-plot-diagnostics", dest="plot_diagnostics",
+                    action="store_false")
+    ap.add_argument("--save-summary", action="store_true", default=True,
+                    help="Write trials.csv and best_params.json to the study directory.")
+    ap.add_argument("--no-save-summary", dest="save_summary", action="store_false")
     args = ap.parse_args(argv)
 
     outbase = Path(args.outdir).resolve()
@@ -177,10 +186,11 @@ def main(argv=None):
         )
         study.optimize(objective, n_trials=args.n_trials, n_jobs=max(1, args.threads))
         best_params, best_value = study.best_trial.params, study.best_trial.value
-        try:
-            study.trials_dataframe().to_csv(study_dir / "trials.csv", index=False)
-        except Exception:
-            pass
+        if args.save_summary:
+            try:
+                study.trials_dataframe().to_csv(study_dir / "trials.csv", index=False)
+            except Exception:
+                pass
     except ImportError:
         print("[INFO] optuna not installed; using seeded random search fallback.")
         rng = random.Random(args.seed)
@@ -193,7 +203,8 @@ def main(argv=None):
         import pandas as pd
 
         df = pd.DataFrame(results)
-        df.to_csv(study_dir / "trials.csv", index=False)
+        if args.save_summary:
+            df.to_csv(study_dir / "trials.csv", index=False)
         best_row = df.loc[df["value"].idxmax()]
         best_value = float(best_row["value"])
         best_params = {k: best_row[k] for k in ("refine_iters", "alpha", "beta", "gap_open", "gap_extend")}
@@ -201,7 +212,8 @@ def main(argv=None):
     print("Best value:", best_value)
     print("Best params:")
     print(json.dumps({k: (float(v) if not isinstance(v, (int, str)) else v) for k, v in best_params.items()}, indent=2, default=float))
-    (study_dir / "best_params.json").write_text(json.dumps(best_params, indent=2, default=float))
+    if args.save_summary:
+        (study_dir / "best_params.json").write_text(json.dumps(best_params, indent=2, default=float))
 
 
 if __name__ == "__main__":

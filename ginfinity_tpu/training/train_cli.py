@@ -652,12 +652,13 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
             ckpt_mgr.wait_until_finished()
             ckpt_mgr.close()
 
+    save_best = bool(getattr(args, "save_best_weights", True))
     if interrupted:
         # interactive best-weights save (train_model.py:1228-1273)
         log_information(log_path, {"Training finished": "Interrupted by user"})
         saved = False
         epoch_for_save = max(best_epoch, 0)
-        if early.best_params is not None:
+        if save_best and early.best_params is not None:
             while True:
                 try:
                     response = input(
@@ -695,7 +696,7 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
 
     # restore best weights (train_model.py:1279-1283)
     epoch_for_save = max(last_epoch, 0)
-    if early.early_stop and early.best_params is not None:
+    if early.early_stop and save_best and early.best_params is not None:
         ts = ts.replace(params=early.best_params, model_state=early.best_model_state)
         if best_epoch >= 0:
             epoch_for_save = best_epoch
@@ -781,6 +782,25 @@ def build_parser():
                              "matrix PNG.")
     parser.add_argument("--diagnostic-alignment", dest="diagnostic_alignment",
                         action="store_true", help=argparse.SUPPRESS)
+    # reference parity: type=bool quirk preserved (any non-empty string
+    # parses True; train_model.py:1319)
+    parser.add_argument("--save_best_weights", type=bool, default=True,
+                        help="Restore/save the best weights (early stopping "
+                             "and Ctrl-C); False saves the final weights.")
+    parser.add_argument("--cache-alignments", dest="cache_alignments",
+                        action="store_true", default=True,
+                        help="Reference CLI compatibility: preprocessing "
+                             "here is eager and cached by construction.")
+    parser.add_argument("--no-cache-alignments", dest="cache_alignments",
+                        action="store_false")
+    parser.add_argument("--alignment-prefetch-factor", type=int, default=2,
+                        help="Reference CLI compatibility (no dataloader "
+                             "workers exist; batches assemble eagerly).")
+    parser.add_argument("--no-preprocessing-progress",
+                        dest="preprocessing_progress", action="store_false",
+                        default=True,
+                        help="Reference CLI compatibility (preprocessing is "
+                             "vectorized; no progress bars are shown).")
     parser.add_argument("--save-every", type=int, default=0,
                         help="Write an async orbax checkpoint of the FULL "
                              "training state every N epochs (0 = off).")

@@ -497,3 +497,40 @@ class TestForgiTraining:
         assert cfg.graph_encoding == "forgi"
         assert cfg.node_feature_dim == 16
         assert cfg.edge_feature_dim == 7
+
+
+class TestSaveBestWeightsFlag:
+    def test_disabled_saves_final_weights(self, triplet_tsv, tmp_path, monkeypatch):
+        """--save_best_weights '' (the reference's type=bool quirk: empty
+        string = False) must skip best-weight restore and the interrupt
+        prompt, saving final weights instead."""
+        import builtins
+
+        from ginfinity_tpu.training import train_cli
+        from ginfinity_tpu.training.train import EarlyStopping
+
+        monkeypatch.chdir(tmp_path)
+
+        def interrupting(self, val, ts):
+            raise KeyboardInterrupt
+
+        monkeypatch.setattr(EarlyStopping, "__call__", interrupting)
+        prompted = {"n": 0}
+
+        def fake_input(*a):
+            prompted["n"] += 1
+            return "y"
+
+        monkeypatch.setattr(builtins, "input", fake_input)
+        train_cli.main([
+            "--input_path", triplet_tsv, "--model_id", "nb",
+            "--training_mode", "triplet", "--hidden_dim", "8",
+            "--gin_layers", "1", "--output_dim", "4",
+            "--batch_size", "8", "--num_epochs", "3", "--lr", "0.01",
+            "--decay_rate", "1.0", "--val_fraction", "0.25",
+            "--save_best_weights", "",
+        ])
+        assert prompted["n"] == 0  # no interactive prompt without best weights
+        assert not (tmp_path / "output" / "nb" / "nb.pth").exists()
+        log = (tmp_path / "output" / "nb" / "train.log").read_text()
+        assert "Interrupted by user" in log
