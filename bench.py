@@ -210,6 +210,40 @@ def measure_train_step(n_steps=20):
             "graphs_per_step": n_graphs}
 
 
+def measure_msa_quick(n_seq=16, L=120, dim=16):
+    """Secondary driver-visible metric: MSA engine wall time on a small
+    synthetic family (posteriors + consistency + tree + progressive)."""
+    import json as _json
+    import tempfile
+
+    import pandas as pd
+
+    from ginfinity_tpu.pipelines.msa import main as msa_main
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(L, dim)).astype(np.float32)
+    rows = []
+    for k in range(n_seq):
+        Lk = int(rng.integers(int(L * 0.8), L + 1))
+        emb = base[:Lk] + 0.15 * rng.normal(size=(Lk, dim)).astype(np.float32)
+        rows.append({"Name": f"s{k}", "node_embeddings": _json.dumps(emb.round(5).tolist())})
+    import contextlib
+
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "in.tsv")
+        pd.DataFrame(rows).to_csv(inp, sep="\t", index=False)
+        # the MSA CLI prints progress; keep bench stdout = one JSON line
+        with contextlib.redirect_stdout(sys.stderr):
+            args = ["--input", inp, "--out-prefix", os.path.join(td, "w", "msa"),
+                    "--alpha", "5.0", "--beta", "0.0", "--consistency-rounds", "1"]
+            msa_main(args)  # warm (compiles)
+            t0 = time.perf_counter()
+            msa_main(["--input", inp, "--out-prefix", os.path.join(td, "m", "msa"),
+                      "--alpha", "5.0", "--beta", "0.0", "--consistency-rounds", "1"])
+            dt = time.perf_counter() - t0
+    return {"msa_seconds_warm": round(dt, 2), "n_seq": n_seq, "Lmax": L}
+
+
 def main():
     import pandas as pd
     import torch
@@ -246,7 +280,8 @@ def main():
     # regressions in those paths are driver-visible too; failures there
     # must not sink the headline metric.
     extra = {}
-    for name, fn in (("search", measure_search_quick), ("train", measure_train_step)):
+    for name, fn in (("search", measure_search_quick), ("train", measure_train_step),
+                     ("msa", measure_msa_quick)):
         try:
             extra[name] = fn()
         except Exception as exc:  # pragma: no cover
