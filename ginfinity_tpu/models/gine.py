@@ -533,8 +533,9 @@ def fit_node_stats(
     s = None
     ss = None
     n = 0.0
+    fwd = jax.jit(lambda p, st, b: encode_nodes(config, p, st, b)[0])
     for b in batches:
-        x, _ = encode_nodes(config, params, state, b)
+        x = fwd(params, state, b)
         m = np.asarray(b.node_mask)
         xa = np.asarray(x) * m[:, None]
         if s is None:

@@ -305,6 +305,143 @@ def _consistency_device_round_fn():
     return round_fn
 
 
+# --------------------------------------------------------------------------
+# Tiled sparse consistency: the device path past the dense-stack HBM cliff.
+#
+# The dense path stacks [N, N, Lmax, Lmax] — 28.8 GB at N=200, L=300 —
+# so real Rfam-family workloads used to fall back to the O(N^3) host
+# loop.  The posteriors are row/col top-K sparse, so here they live on
+# device as row-compacted [N, N, Lmax, K] (values + col indices, both
+# directions), ~1.9 GB at the same scale.  One round processes pair
+# tiles: per pair, a lax.scan over intermediate-C chunks densifies the
+# two [TC, L, K] operand slabs into [TC, L, L] scratch (VMEM-sized),
+# accumulates the MXU einsum, then re-sparsifies the updated pair to
+# row top-K — exactly the dense transform away from exact ties
+# (embed_msa.py:565-681 semantics).
+# --------------------------------------------------------------------------
+
+_TILE_TC = 8  # intermediate sequences per scratch slab
+_TILE_TP = 8  # pairs per scatter tile
+
+
+def _pack_sparse_posteriors(post: dict, N: int, Lmax: int, k: int, TC: int):
+    """Row-compacted [Np, Np, Lmax, k] values/indices for both pair
+    directions (Np = N padded to a TC multiple), plus the presence mask."""
+    Np = -(-N // TC) * TC
+    Pv = np.zeros((Np, Np, Lmax, k), np.float32)
+    Pi = np.zeros((Np, Np, Lmax, k), np.int32)
+    E = np.zeros((Np, Np), bool)
+    for (a, b), P in post.items():
+        E[a, b] = E[b, a] = True
+        for (x, y), M in (((a, b), P), ((b, a), P.T)):
+            rows, cols = M.shape
+            kk = min(k, cols)
+            idx = np.argpartition(-M, kk - 1, axis=1)[:, :kk]
+            Pv[x, y, :rows, :kk] = np.take_along_axis(M, idx, axis=1)
+            Pi[x, y, :rows, :kk] = idx
+    return Pv, Pi, E
+
+
+def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int):
+    import jax
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    row_ids = jnp.arange(Lmax)
+
+    def densify(v, i):  # [L, k] -> [L, L] (duplicate/padding idx add 0s)
+        return jnp.zeros((Lmax, Lmax), f32).at[row_ids[:, None], i].add(v)
+
+    densify_b = jax.vmap(densify)
+
+    @jax.jit
+    def round_fn(Pv, Pi, E, pa, pb, pvalid, lam, pmin):
+        Np = Pv.shape[0]
+        c0s = jnp.arange(0, Np, TC)
+
+        def one_pair(a, b, valid):
+            Pab = densify(Pv[a, b], Pi[a, b])
+
+            def cstep(carry, c0):
+                acc, cnt = carry
+                cs = c0 + jnp.arange(TC)
+                m = (E[a, cs] & E[cs, b]).astype(f32)  # diag(E)=False
+                A = densify_b(Pv[a][cs], Pi[a][cs]) * m[:, None, None]
+                B = densify_b(Pv[cs, b], Pi[cs, b])
+                acc = acc + jnp.einsum(
+                    "cik,ckj->ij", A, B,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=f32,
+                )
+                return (acc, cnt + m.sum()), None
+
+            (acc, cnt), _ = jax.lax.scan(
+                cstep, (jnp.zeros((Lmax, Lmax), f32), jnp.float32(0.0)), c0s
+            )
+            newP = (1.0 - lam) * Pab + lam * acc / jnp.maximum(cnt, 1.0)
+            row_kth = jax.lax.top_k(newP, k)[0][:, -1:]
+            col_kth = jax.lax.top_k(newP.T, k)[0][:, -1:]
+            keep = (newP >= row_kth) & (newP >= col_kth.T) & (newP >= pmin)
+            masked = jnp.where(keep, newP, 0.0) * valid
+            vab, iab = jax.lax.top_k(masked, k)
+            vba, iba = jax.lax.top_k(masked.T, k)
+            return vab, iab.astype(jnp.int32), vba, iba.astype(jnp.int32)
+
+        one_pair_v = jax.vmap(one_pair)
+
+        def tile_step(carry, t0):
+            nPv, nPi = carry
+            ts = t0 + jnp.arange(TP)
+            a, b, val = pa[ts], pb[ts], pvalid[ts]
+            vab, iab, vba, iba = one_pair_v(a, b, val)
+            # padding pairs carry (a, b) = (0, 0) and zero values: they
+            # scatter zeros onto the (always-zero) diagonal — harmless
+            nPv = nPv.at[a, b].set(vab).at[b, a].set(vba)
+            nPi = nPi.at[a, b].set(iab).at[b, a].set(iba)
+            return (nPv, nPi), None
+
+        init = (jnp.zeros_like(Pv), jnp.zeros_like(Pi))
+        (nPv, nPi), _ = jax.lax.scan(
+            tile_step, init, jnp.arange(0, pa.shape[0], TP)
+        )
+        return nPv, nPi
+
+    return round_fn
+
+
+def _run_consistency_tiled(post, N, rounds, lam, topk, pmin, Lmax):
+    """Run all rounds on the sparse device representation; returns
+    (Pv, Pi, E) as device arrays plus the jnp module."""
+    import jax.numpy as jnp
+
+    k = min(int(topk), Lmax)
+    TC, TP = _TILE_TC, _TILE_TP
+    Pv, Pi, E = _pack_sparse_posteriors(post, N, Lmax, k, TC)
+    pairs = sorted(post.keys())
+    n_pairs = -(-len(pairs) // TP) * TP
+    pa = np.zeros(n_pairs, np.int32)
+    pb = np.zeros(n_pairs, np.int32)
+    pvalid = np.zeros(n_pairs, np.float32)
+    for t, (a, b) in enumerate(pairs):
+        pa[t], pb[t], pvalid[t] = a, b, 1.0
+    round_fn = _tiled_consistency_round_fn(Lmax, k, TC, TP)
+    Pv_d, Pi_d = jnp.asarray(Pv), jnp.asarray(Pi)
+    E_d = jnp.asarray(E)
+    pa_d, pb_d, pv_d = jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(pvalid)
+    for _ in range(rounds):
+        Pv_d, Pi_d = round_fn(
+            Pv_d, Pi_d, E_d, pa_d, pb_d, pv_d,
+            jnp.float32(lam), jnp.float32(pmin),
+        )
+    return Pv_d, Pi_d, E_d
+
+
+def _sparse_bytes(N: int, Lmax: int, topk: int) -> int:
+    # Pv f32 + Pi i32, old + new copies inside the round program
+    k = min(int(topk), Lmax)
+    return 2 * 2 * N * N * Lmax * k * 4
+
+
 def run_consistency_rounds(
     post: dict, N: int, rounds: int, lam: float = 0.5, topk: int = 20,
     pmin: float = 1e-4, hbm_budget_bytes: int = 4 << 30,
@@ -312,8 +449,10 @@ def run_consistency_rounds(
     """All consistency rounds with the posteriors resident on device.
 
     Uploads the stacked [N, N, Lmax, Lmax] tensor once, runs every round
-    as one einsum program, downloads the result once.  Falls back to the
-    per-pair host path when the stacked tensor exceeds ``hbm_budget_bytes``.
+    as one einsum program, downloads the result once.  When the dense
+    stack exceeds ``hbm_budget_bytes`` the tiled sparse path takes over
+    (same transform, [N, N, Lmax, K] storage); only when even that
+    exceeds the budget does it fall back to the per-pair host loop.
     """
     if rounds <= 0 or not post:
         return post
@@ -322,7 +461,24 @@ def run_consistency_rounds(
         lengths[a] = P.shape[0]
         lengths[b] = P.shape[1]
     Lmax = int(lengths.max())
-    if 2 * (N * N * Lmax * Lmax * 4) > hbm_budget_bytes:  # P + einsum output
+    if 2 * (N * N * Lmax * Lmax * 4) > hbm_budget_bytes:
+        if _sparse_bytes(N, Lmax, topk) <= hbm_budget_bytes:
+            Pv, Pi, _ = _run_consistency_tiled(
+                post, N, rounds, lam, topk, pmin, Lmax
+            )
+            Pv = np.asarray(Pv)
+            Pi = np.asarray(Pi)
+            out = {}
+            for (a, b) in post:
+                la, lb = int(lengths[a]), int(lengths[b])
+                P = np.zeros((la, lb), np.float32)
+                rows = np.repeat(np.arange(la), Pv.shape[-1])
+                cols = Pi[a, b, :la].ravel()
+                vals = Pv[a, b, :la].ravel()
+                nz = vals > 0
+                P[rows[nz], cols[nz]] = vals[nz]
+                out[(a, b)] = P
+            return out
         out = post
         for _ in range(rounds):
             out = consistency_round(out, N, lam, topk, pmin)
@@ -372,6 +528,17 @@ def consistency_rounds_to_distances(
     if rounds <= 0:
         return build_distance_matrix(post, N)
     if 2 * (N * N * Lmax * Lmax * 4) > hbm_budget_bytes:
+        if _sparse_bytes(N, Lmax, topk) <= hbm_budget_bytes:
+            import jax.numpy as jnp
+
+            Pv, _, E = _run_consistency_tiled(
+                post, N, rounds, lam, topk, pmin, Lmax
+            )
+            sums = Pv.sum(axis=(-1, -2))
+            cnts = (Pv > 0).sum(axis=(-1, -2))
+            D = jnp.where(cnts > 0, 1.0 - sums / jnp.maximum(cnts, 1), 1.0)
+            D = jnp.where(E, jnp.clip(D, 0.0, 1.0), 0.0)
+            return np.asarray(D, np.float32)[:N, :N]
         out = post
         for _ in range(rounds):
             out = consistency_round(out, N, lam, topk, pmin)

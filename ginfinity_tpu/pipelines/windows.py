@@ -160,6 +160,38 @@ def save_windows_graphs(path: str, graph_map: dict[str, GraphArrays]):
     )
 
 
+def save_windows_graphs_pt(path: str, graph_map: dict[str, GraphArrays]):
+    """Reference-format archive: a dict of PyG ``Data`` objects written
+    with ``torch.save`` (generate_windows.py:171) so reference tooling
+    can consume windows generated here.  Uses the pickle-compatible
+    stand-in classes from graphs.pyg_compat when torch_geometric is not
+    installed — the file unpickles as real Data objects in a PyG
+    environment."""
+    import torch
+
+    from ginfinity_tpu.graphs.pyg_compat import ensure_pyg
+
+    tgd = ensure_pyg()
+    out = {}
+    for wid, g in graph_map.items():
+        data = tgd.Data(
+            x=torch.from_numpy(np.ascontiguousarray(g.node_feat, np.float32)),
+            edge_index=torch.from_numpy(
+                np.ascontiguousarray(
+                    np.stack([g.edge_src, g.edge_dst]).astype(np.int64)
+                )
+            ),
+            edge_attr=torch.from_numpy(np.ascontiguousarray(g.edge_attr, np.float32)),
+        )
+        base_mask = torch.zeros(g.n_nodes, dtype=torch.bool)
+        base_mask[: g.n_base_nodes] = True
+        data.base_node_mask = base_mask
+        data.num_base_nodes = int(g.n_base_nodes)
+        data.graph_encoding = "standard"
+        out[wid] = data
+    torch.save(out, path)
+
+
 def load_windows_graphs(path: str) -> dict[str, GraphArrays]:
     if path.endswith(".pt"):  # reference torch format
         return _load_torch_windows(path)
@@ -203,10 +235,14 @@ def load_windows_graphs(path: str) -> dict[str, GraphArrays]:
 
 
 def _load_torch_windows(path: str) -> dict[str, GraphArrays]:
-    """Read the reference's windows_graphs.pt (requires its unpickling
-    deps, i.e. torch_geometric, to be importable)."""
+    """Read a windows_graphs.pt (reference format).  torch_geometric
+    itself is not required: graphs.pyg_compat installs pickle-compatible
+    stand-ins for the PyG classes inside the archive."""
     import torch
 
+    from ginfinity_tpu.graphs.pyg_compat import ensure_pyg
+
+    ensure_pyg()
     raw = torch.load(path, weights_only=False)
     out = {}
     for wid, data in raw.items():
@@ -237,11 +273,16 @@ def main(argv=None):
     parser.add_argument("--keep-cols", type=str, default=None)
     parser.add_argument("--num-workers", type=int, default=1,
                         help="Reference CLI compatibility (slicing is vectorized).")
+    parser.add_argument("--format", choices=["npz", "pt", "both"], default="npz",
+                        help="Archive format: 'npz' (packed columnar, fast "
+                             "load), 'pt' (reference windows_graphs.pt, "
+                             "consumable by reference tooling), or 'both'.")
     parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
     graphs_npz = os.path.join(args.output_dir, "windows_graphs.npz")
+    graphs_pt = os.path.join(args.output_dir, "windows_graphs.pt")
     meta_tsv = os.path.join(args.output_dir, "windows_metadata.tsv")
     args.output = meta_tsv  # for setup_and_read_input
 
@@ -275,7 +316,13 @@ def main(argv=None):
                 }
             )
 
-    save_windows_graphs(graphs_npz, graph_map)
+    saved_paths = {}
+    if args.format in ("npz", "both"):
+        save_windows_graphs(graphs_npz, graph_map)
+        saved_paths["graphs"] = graphs_npz
+    if args.format in ("pt", "both"):
+        save_windows_graphs_pt(graphs_pt, graph_map)
+        saved_paths["graphs_pt"] = graphs_pt
     leading = ["window_id", args.id_column, "window_start", "window_end", "seq_len"]
     # no structure long enough -> header-only metadata, not a crash
     meta_df = pd.DataFrame(meta_list, columns=leading if not meta_list else None)
@@ -283,11 +330,12 @@ def main(argv=None):
     meta_df = meta_df[leading + others]
     meta_df.to_csv(meta_tsv, sep="\t", index=False, na_rep="NaN")
     if not args.quiet:
-        print(f"Saved {len(graph_map)} graphs to {graphs_npz}")
+        for p in saved_paths.values():
+            print(f"Saved {len(graph_map)} graphs to {p}")
         print(f"Saved metadata to {meta_tsv}")
     log_information(
         log_path,
-        {"graphs": graphs_npz, "metadata": meta_tsv, "n_windows": len(meta_df)},
+        {**saved_paths, "metadata": meta_tsv, "n_windows": len(meta_df)},
         "Summary",
     )
 

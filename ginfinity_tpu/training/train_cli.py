@@ -403,6 +403,55 @@ def _restore_checkpoint(ckpt_dir: str, ts, key, early, rng_np):
 # --------------------------------------------------------------------------
 
 
+def _fit_node_stats_on_train(args, cfg, ts, train_ds, log_path):
+    """Fit the zscore node_mu/node_sigma buffers on the train set's raw
+    node embeddings before export (reference API with no CLI caller:
+    gin_model.py:206-230 ``fit_node_stats_from_loader``; without this a
+    ``zscore*`` model exports buffers at their init values 0/1)."""
+    if not getattr(args, "fit_node_stats", False):
+        return ts
+    if not cfg.node_embed_norm.startswith("zscore"):
+        print("[train] --fit-node-stats ignored: "
+              f"node_embed_norm={cfg.node_embed_norm!r} has no zscore buffers")
+        return ts
+    from ginfinity_tpu.graphs.batching import (
+        _round_capacity,
+        batch_graphs,
+        bucket_sizes,
+    )
+    from ginfinity_tpu.models.gine import fit_node_stats
+
+    if args.training_mode == "alignment":
+        graphs = [s.graph for _, structs in train_ds.groups for s in structs]
+    else:  # triplet items are 3-tuples, regression pairs 2-tuples
+        graphs = [g for item in train_ds.items for g in item]
+
+    def batches():
+        order = sorted(range(len(graphs)), key=lambda i: graphs[i].n_nodes)
+
+        def make(chunk):
+            n_cap, e_cap = bucket_sizes(
+                sum(g.n_nodes for g in chunk), sum(g.n_edges for g in chunk)
+            )
+            return batch_graphs(chunk, n_cap, e_cap, _round_capacity(len(chunk)))
+
+        cur, cur_nodes = [], 0
+        for i in order:
+            n = graphs[i].n_nodes
+            if cur and (cur_nodes + n > 4096 or len(cur) >= 256):
+                yield make(cur)
+                cur, cur_nodes = [], 0
+            cur.append(graphs[i])
+            cur_nodes += n
+        if cur:
+            yield make(cur)
+
+    new_state = fit_node_stats(cfg, ts.params, ts.model_state, batches())
+    print(f"[train] fitted node_mu/node_sigma on {len(graphs)} train graphs")
+    log_information(log_path, {"fit_node_stats_graphs": len(graphs)})
+    return ts.replace(model_state=new_state)
+
+
 def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
                  lr, decay_rate, num_epochs, patience, checkpoint_path, log_path):
     import jax
@@ -671,6 +720,7 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
                     response = "n"
                 if response in ("y", "yes"):
                     ts = ts.replace(params=early.best_params, model_state=early.best_model_state)
+                    ts = _fit_node_stats_on_train(args, cfg, ts, train_ds, log_path)
                     os.makedirs(os.path.dirname(checkpoint_path) or ".", exist_ok=True)
                     export_torch_checkpoint(
                         checkpoint_path, cfg, ts.params, ts.model_state, epoch=epoch_for_save
@@ -701,6 +751,7 @@ def run_training(args, cfg, params, state, train_df, val_df, alignment_map,
         if best_epoch >= 0:
             epoch_for_save = best_epoch
 
+    ts = _fit_node_stats_on_train(args, cfg, ts, train_ds, log_path)
     os.makedirs(os.path.dirname(checkpoint_path) or ".", exist_ok=True)
     export_torch_checkpoint(checkpoint_path, cfg, ts.params, ts.model_state, epoch=epoch_for_save)
     log_information(log_path, {"Model saved path": checkpoint_path})
@@ -816,6 +867,12 @@ def build_parser():
     parser.add_argument("--node_embed_norm", type=str,
                         choices=["none", "l2", "zscore", "zscore_l2"], default="none")
     parser.add_argument("--normalize_nodes_before_pool", action="store_true")
+    parser.add_argument("--fit-node-stats", dest="fit_node_stats", action="store_true",
+                        help="After training, fit the zscore node_mu/node_sigma "
+                             "buffers on the train set's raw node embeddings "
+                             "before export (the reference ships this as the "
+                             "fit_node_stats_from_loader API with no CLI path, "
+                             "gin_model.py:206-230).")
     parser.add_argument("--alignment_map_path", type=str, default=None)
     parser.add_argument("--alignment_margin", type=float, default=0.2)
     parser.add_argument("--alignment_unaligned_per_graph", type=int, default=16)

@@ -59,6 +59,53 @@ class TestTorchImport:
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
+    def test_fit_node_stats_matches_torch_streaming_fit(self, packaged_model, graphs):
+        """fit_node_stats == the reference's fit_node_stats_from_loader
+        math (gin_model.py:206-230): streaming mu/sigma over raw
+        (pre-norm) node embeddings, sigma = sqrt(clamp(E[x^2]-mu^2,0)+eps)."""
+        import torch
+
+        from tests.torch_oracle import run_oracle
+
+        from ginfinity_tpu.models.gine import fit_node_stats
+
+        model, _ = packaged_model
+        half = len(graphs) // 2
+        chunks = [graphs[:half], graphs[half:]]
+
+        s = ss = None
+        n = 0
+        for ch in chunks:  # torch streaming fit, one "loader batch" per chunk
+            x = torch.from_numpy(
+                run_oracle(
+                    CKPT,
+                    [g.node_feat for g in ch],
+                    [g.edge_src for g in ch],
+                    [g.edge_dst for g in ch],
+                    [g.edge_attr for g in ch],
+                    mode="raw_nodes",
+                )
+            )
+            if s is None:
+                s, ss = x.sum(dim=0), (x * x).sum(dim=0)
+            else:
+                s, ss = s + x.sum(dim=0), ss + (x * x).sum(dim=0)
+            n += x.shape[0]
+        mu = s / n
+        var = torch.clamp(ss / n - mu * mu, min=0.0)
+        sigma = torch.clamp(torch.sqrt(var + 1e-6), min=1e-6)
+
+        new_state = fit_node_stats(
+            model.config, model.params, model.state,
+            [batch_graphs(ch) for ch in chunks],
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state["node_mu"]), mu.numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state["node_sigma"]), sigma.numpy(), rtol=1e-4, atol=1e-5
+        )
+
     def test_node_embeddings_match_oracle(self, packaged_model, graphs):
         from tests.torch_oracle import run_oracle
 

@@ -135,6 +135,54 @@ class TestConsistency:
         got = run_consistency_rounds(post, 3, 1, hbm_budget_bytes=16)
         assert set(got) == set(post)
 
+    @pytest.mark.parametrize("drop", [(), ((1, 3),)])
+    def test_tiled_sparse_path_equals_dict_oracle(self, drop):
+        """A budget between the sparse and dense footprints selects the
+        tiled [N,N,L,K] path; it must reproduce the dict transform."""
+        from ginfinity_tpu.pipelines.msa import (
+            _sparse_bytes,
+            consistency_round,
+            run_consistency_rounds,
+        )
+
+        rng = np.random.default_rng(9)
+        lengths = [17, 23, 19, 21, 25, 18]
+        N, Lmax = len(lengths), max(lengths)
+        post = _random_sparse_posteriors(rng, lengths, topk=4, drop_pairs=drop)
+        want = dict(post)
+        for _ in range(2):
+            want = consistency_round(want, N, 0.5, 4, 1e-4)
+        budget = _sparse_bytes(N, Lmax, 4)
+        assert budget < 2 * N * N * Lmax * Lmax * 4  # dense path excluded
+        got = run_consistency_rounds(
+            post, N, 2, 0.5, 4, 1e-4, hbm_budget_bytes=budget
+        )
+        assert set(got) == set(want)
+        for key in want:
+            np.testing.assert_allclose(got[key], want[key], atol=2e-6, rtol=2e-5)
+
+    def test_tiled_distances_equal_host(self):
+        from ginfinity_tpu.pipelines.msa import (
+            _sparse_bytes,
+            build_distance_matrix,
+            consistency_round,
+            consistency_rounds_to_distances,
+        )
+
+        rng = np.random.default_rng(10)
+        lengths = [14, 19, 16, 21, 15]
+        N, Lmax = len(lengths), max(lengths)
+        post = _random_sparse_posteriors(rng, lengths, topk=4)
+        want = dict(post)
+        for _ in range(2):
+            want = consistency_round(want, N, 0.5, 4, 1e-4)
+        D_want = build_distance_matrix(want, N)
+        budget = _sparse_bytes(N, Lmax, 4)
+        D_got = consistency_rounds_to_distances(
+            post, N, 2, 0.5, 4, 1e-4, hbm_budget_bytes=budget
+        )
+        np.testing.assert_allclose(D_got, D_want, atol=1e-5)
+
 
 class TestEmbeddingResidentPosteriors:
     def test_matches_host_score_path(self):

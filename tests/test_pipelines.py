@@ -150,6 +150,31 @@ class TestWindows:
         assert len(meta) == len(graphs) > 0
         assert set(meta["window_id"]) == set(graphs)
 
+    def test_cli_pt_format_roundtrip(self, tmp_path, mini_csv):
+        """--format pt writes a reference-layout windows_graphs.pt whose
+        pickle references the real torch_geometric class paths
+        (generate_windows.py:171 contract); loading it back through the
+        pyg_compat stubs reproduces the npz arrays exactly."""
+        from ginfinity_tpu.pipelines.windows import load_windows_graphs, main
+
+        outdir = str(tmp_path / "wpt")
+        main(["--input", mini_csv, "--output-dir", outdir, "--id-column",
+              "rnacentral_id", "--L", "40", "--keep-paired-neighbors",
+              "--format", "both", "--quiet"])
+        with open(os.path.join(outdir, "windows_graphs.pt"), "rb") as f:
+            blob = f.read()
+        assert b"torch_geometric.data.data" in blob  # pickled under PyG paths
+        assert b"ginfinity_tpu" not in blob          # nothing package-local
+        a = load_windows_graphs(os.path.join(outdir, "windows_graphs.npz"))
+        b = load_windows_graphs(os.path.join(outdir, "windows_graphs.pt"))
+        assert set(a) == set(b) and len(a) > 0
+        for wid in a:
+            np.testing.assert_array_equal(a[wid].node_feat, b[wid].node_feat)
+            np.testing.assert_array_equal(a[wid].edge_src, b[wid].edge_src)
+            np.testing.assert_array_equal(a[wid].edge_dst, b[wid].edge_dst)
+            np.testing.assert_array_equal(a[wid].edge_attr, b[wid].edge_attr)
+            assert a[wid].n_base_nodes == b[wid].n_base_nodes
+
     def test_embed_from_windows(self, tmp_path, mini_csv):
         from ginfinity_tpu.pipelines.embed import main as embed_main
         from ginfinity_tpu.pipelines.windows import main as win_main

@@ -310,6 +310,27 @@ class TestTrainCLI:
         assert len(losses) >= 3
         assert losses[-1] < losses[0], losses
 
+    def test_fit_node_stats_flag(self, triplet_tsv, tmp_path, monkeypatch):
+        """--fit-node-stats exports fitted (non-init) zscore buffers."""
+        import torch
+
+        from ginfinity_tpu.training.train_cli import main
+
+        monkeypatch.chdir(tmp_path)
+        main([
+            "--input_path", triplet_tsv, "--model_id", "fns",
+            "--training_mode", "triplet", "--hidden_dim", "16",
+            "--gin_layers", "2", "--output_dim", "8",
+            "--batch_size", "8", "--num_epochs", "1", "--lr", "0.01",
+            "--decay_rate", "0.9", "--val_fraction", "0.25",
+            "--node_embed_norm", "zscore_l2", "--fit-node-stats",
+        ])
+        sd = torch.load(
+            str(tmp_path / "output" / "fns" / "fns.pth"), weights_only=False
+        )["state_dict"]
+        assert not torch.allclose(sd["node_mu"], torch.zeros_like(sd["node_mu"]))
+        assert not torch.allclose(sd["node_sigma"], torch.ones_like(sd["node_sigma"]))
+
     def test_interrupt_saves_best_weights(self, triplet_tsv, tmp_path, monkeypatch):
         """Ctrl-C mid-training must offer to save the best weights and
         write the .pth on 'y' (train_model.py:1228-1273)."""

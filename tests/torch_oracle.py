@@ -84,6 +84,9 @@ def run_oracle(ckpt_path, node_feats, edge_srcs, edge_dsts, edge_attrs, mode="gr
             x = x / torch.linalg.norm(x, dim=1, keepdim=True).clamp(min=eps)
         return x
 
+    if mode == "raw_nodes":  # pre-norm embeddings (fit_node_stats input)
+        return x.numpy()
+
     if mode == "nodes":
         return node_norm(x).numpy()
 
