@@ -46,6 +46,18 @@ class TopKSearcher:
     metric : 'sqeuclidean' | 'cosine' | 'dot'.
     mesh : optional Mesh; defaults to all local devices on a 'data' axis.
     query_block : queries per compiled search call (padded).
+    precision : Gram-pass matmul precision for f32 storage
+        ('highest' = exact recall; 'bf16' = ~2x throughput).
+    storage : HBM residency format of the corpus —
+        'f32'  : full-precision resident corpus (exact scan);
+        'bf16' : half the HBM (2 bytes/row-dim), candidate scan in bf16;
+        'int8' : quarter the HBM (per-row-scale symmetric quantization),
+                 candidate scan on the int8 MXU path.
+        Compressed modes over-fetch ``overfetch * k`` candidates on
+        device and re-score them EXACTLY in f32 on the host against the
+        retained f32 corpus — recall loss only occurs when a true
+        top-k row falls outside the over-fetched candidate set.
+    overfetch : candidate multiplier for compressed storage (default 4).
     """
 
     def __init__(
@@ -55,13 +67,19 @@ class TopKSearcher:
         mesh: Mesh | None = None,
         query_block: int = 1024,
         precision: str = "highest",
+        storage: str = "f32",
+        overfetch: int = 4,
     ):
         if metric not in ("sqeuclidean", "cosine", "dot"):
             raise ValueError(f"unknown metric {metric!r}")
         if precision not in ("highest", "bf16"):
             raise ValueError(f"precision must be 'highest' or 'bf16', got {precision!r}")
+        if storage not in ("f32", "bf16", "int8"):
+            raise ValueError(f"storage must be 'f32'|'bf16'|'int8', got {storage!r}")
         self.metric = metric
         self.precision = precision
+        self.storage = storage
+        self.overfetch = max(1, int(overfetch))
         self.mesh = mesh or make_data_mesh()
         self.n = corpus.shape[0]
         self.dim = corpus.shape[1]
@@ -73,6 +91,8 @@ class TopKSearcher:
             corpus = corpus / np.maximum(
                 np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12
             )
+        # Exact rows stay on host for the compressed-mode re-score.
+        self._host_corpus = corpus if storage != "f32" else None
         # Each shard scans its rows in tiles of `corpus_tile`, keeping a
         # running top-k, so the [Q, rows_local] score matrix is never
         # materialized (16 GB of HBM traffic per 4k queries at 1M rows).
@@ -83,9 +103,20 @@ class TopKSearcher:
         valid[: self.n] = 1.0
 
         sh = NamedSharding(self.mesh, P("data"))
-        self._corpus = jax.device_put(jnp.asarray(padded), sh)
+        if storage == "bf16":
+            self._corpus = jax.device_put(jnp.asarray(padded, jnp.bfloat16), sh)
+            self._scale = None
+        elif storage == "int8":
+            s = np.max(np.abs(padded), axis=1) / 127.0
+            s = np.maximum(s, 1e-12).astype(np.float32)
+            q = np.clip(np.rint(padded / s[:, None]), -127, 127).astype(np.int8)
+            self._corpus = jax.device_put(jnp.asarray(q), sh)
+            self._scale = jax.device_put(jnp.asarray(s), sh)
+        else:
+            self._corpus = jax.device_put(jnp.asarray(padded), sh)
+            self._scale = None
         self._valid = jax.device_put(jnp.asarray(valid), sh)
-        # Per-row squared norms (for sqeuclidean scores).
+        # Per-row squared norms (for sqeuclidean scores), always exact f32.
         sq = np.sum(padded * padded, axis=1).astype(np.float32)
         self._sqnorm = jax.device_put(jnp.asarray(sq), sh)
         self._search_fns: dict[int, callable] = {}
@@ -110,8 +141,9 @@ class TopKSearcher:
         tile = self.corpus_tile
         n_tiles = shard_rows // tile
         tile_k = min(k, tile)
+        storage = self.storage
 
-        def shard_search(corpus, valid, sqnorm, queries):
+        def shard_search(corpus, scale, valid, sqnorm, queries):
             # corpus [rows_local, D], queries [Q, D] replicated.
             # Scan corpus tiles with a running top-k: per step one
             # [Q, tile] MXU Gram + a tile top-k + a 2k merge — scores
@@ -119,15 +151,41 @@ class TopKSearcher:
             q = queries.shape[0]
             shard_base = jax.lax.axis_index("data") * shard_rows
 
+            if storage == "bf16":
+                q_mat = queries.astype(jnp.bfloat16)
+            elif storage == "int8":
+                # symmetric per-query-row quantization; exactness is
+                # restored by the host f32 re-score of the candidates
+                q_scale = jnp.maximum(
+                    jnp.max(jnp.abs(queries), axis=1) / 127.0, 1e-12
+                )
+                q_mat = jnp.clip(
+                    jnp.round(queries / q_scale[:, None]), -127, 127
+                ).astype(jnp.int8)
+            else:
+                q_mat = queries
+
             def tile_step(carry, xs):
                 best_v, best_g = carry  # [Q, local_k]
-                c_t, v_t, s_t, base = xs
-                scores = jax.lax.dot_general(
-                    queries, c_t,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                )  # [Q, tile]
+                c_t, sc_t, v_t, s_t, base = xs
+                if storage == "int8":
+                    dots = jax.lax.dot_general(
+                        q_mat, c_t,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )  # [Q, tile] int32
+                    scores = (
+                        dots.astype(jnp.float32)
+                        * q_scale[:, None]
+                        * sc_t[None, :]
+                    )
+                else:
+                    scores = jax.lax.dot_general(
+                        q_mat, c_t,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )  # [Q, tile]
                 if metric == "sqeuclidean":
                     # maximize 2 q.c - ||c||^2  ==  minimize ||q - c||^2
                     scores = 2.0 * scores - s_t[None, :]
@@ -147,11 +205,13 @@ class TopKSearcher:
                 jnp.zeros((q, local_k), jnp.int32),
             )
             bases = shard_base + jnp.arange(n_tiles, dtype=jnp.int32) * tile
+            scale_tiles = scale.reshape(n_tiles, tile)  # dummy unless int8
             (v, gids), _ = jax.lax.scan(
                 tile_step,
                 init,
                 (
                     corpus.reshape(n_tiles, tile, -1),
+                    scale_tiles,
                     valid.reshape(n_tiles, tile),
                     sqnorm.reshape(n_tiles, tile),
                     bases,
@@ -169,7 +229,7 @@ class TopKSearcher:
         fn = jax.shard_map(
             shard_search,
             mesh=mesh,
-            in_specs=(P("data", None), P("data"), P("data"), P()),
+            in_specs=(P("data", None), P("data"), P("data"), P("data"), P()),
             out_specs=(P(), P()),
             # every shard computes the identical final merge after the
             # all_gather; replication can't be statically inferred
@@ -180,11 +240,16 @@ class TopKSearcher:
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Return (scores [Q, k], indices [Q, k]) of the top-k corpus rows
         per query.  For 'sqeuclidean' the returned scores are the actual
-        squared distances (ascending)."""
+        squared distances (ascending).
+
+        Compressed storage ('bf16'/'int8') over-fetches overfetch*k
+        candidates from the device scan and re-scores them exactly in
+        f32 on the host."""
         k = min(k, self.n)
-        if k not in self._search_fns:
-            self._search_fns[k] = self._build(k)
-        fn = self._search_fns[k]
+        k_dev = k if self.storage == "f32" else min(self.n, self.overfetch * k)
+        if k_dev not in self._search_fns:
+            self._search_fns[k_dev] = self._build(k_dev)
+        fn = self._search_fns[k_dev]
 
         queries = np.asarray(queries, np.float32)
         if self.metric == "cosine":
@@ -193,23 +258,45 @@ class TopKSearcher:
             )
         q_sq = np.sum(queries * queries, axis=1)
 
+        scale = self._scale if self._scale is not None else self._valid
         nq = queries.shape[0]
-        out_v = np.empty((nq, k), np.float32)
-        out_i = np.empty((nq, k), np.int64)
+        out_v = np.empty((nq, k_dev), np.float32)
+        out_i = np.empty((nq, k_dev), np.int64)
         block = self.query_block
         for s in range(0, nq, block):
             q = queries[s : s + block]
             pad = block - q.shape[0]
             if pad:
                 q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)])
-            v, g = fn(self._corpus, self._valid, self._sqnorm, jnp.asarray(q))
+            v, g = fn(self._corpus, scale, self._valid, self._sqnorm, jnp.asarray(q))
             out_v[s : s + block] = np.asarray(v)[: block - pad]
             out_i[s : s + block] = np.asarray(g)[: block - pad]
 
+        if self.storage != "f32":
+            return self._rescore_exact(queries, out_i, k)
         if self.metric == "sqeuclidean":
             # score was 2 q.c - ||c||^2; distance = ||q||^2 - score
             out_v = q_sq[:, None] - out_v
         return out_v, out_i
+
+    def _rescore_exact(
+        self, queries: np.ndarray, cand_ids: np.ndarray, k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact f32 re-score of device candidates against the retained
+        host corpus; restores exact ranking within the candidate set."""
+        rows = self._host_corpus[cand_ids]  # [Q, kf, D]
+        if self.metric == "sqeuclidean":
+            vals = np.sum(
+                (rows - queries[:, None, :]) ** 2, axis=2, dtype=np.float32
+            )
+            order = np.argsort(vals, axis=1, kind="stable")[:, :k]
+        else:
+            vals = np.einsum("qd,qkd->qk", queries, rows).astype(np.float32)
+            order = np.argsort(-vals, axis=1, kind="stable")[:, :k]
+        return (
+            np.take_along_axis(vals, order, axis=1),
+            np.take_along_axis(cand_ids, order, axis=1),
+        )
 
 
 def brute_force_topk(

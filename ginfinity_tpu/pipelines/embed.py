@@ -113,6 +113,7 @@ def generate_window_embeddings(
     keep_cols: list | None = None,
     quiet: bool = False,
     precision: str = "highest",
+    max_programs: int | None = None,
 ):
     """Fused sliding-window embedding (--window-size): every window of
     every structure is generated AND embedded on device in one pass —
@@ -147,7 +148,8 @@ def generate_window_embeddings(
         structures.append(s)
         ids.append(rid)
     results = embed_corpus_windows(
-        model, structures, window_size, keep_paired_neighbors, mask_threshold
+        model, structures, window_size, keep_paired_neighbors, mask_threshold,
+        max_programs=max_programs,
     )
     rows = []
     for rid, struct, (starts, embs) in zip(ids, structures, results):
@@ -256,6 +258,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mask-threshold", type=float, default=0.0,
                         help="With --window-size: skip windows whose "
                              "paired-base fraction is below this.")
+    parser.add_argument("--max-programs", type=int, default=None,
+                        help="With --window-size: merge the smallest "
+                             "length buckets until at most this many "
+                             "device programs remain. First-run latency "
+                             "is dominated by per-program device loads; "
+                             "--max-programs 1 trades a few percent of "
+                             "padding compute for one load (pairs well "
+                             "with ginfinity-prewarm).")
     parser.add_argument("--precision", choices=["f32", "bf16"], default="f32",
                         help="MXU matmul precision. f32 (default) is "
                              "retrieval-identical to the reference; bf16 is "
@@ -275,6 +285,9 @@ def main(argv=None):
 
 
 def _main_inner(args):
+    from ginfinity_tpu.utils.jaxinit import start_backend_warmup
+
+    start_backend_warmup()  # overlap backend bring-up with input reading
 
     if args.model_path is None:
         default_weights = os.path.join(
@@ -310,6 +323,7 @@ def _main_inner(args):
             keep_cols=propagate,
             quiet=args.quiet,
             precision="highest" if args.precision == "f32" else "bf16",
+            max_programs=args.max_programs,
         )
         return
     generate_embeddings(

@@ -100,6 +100,9 @@ class InferenceEngine:
 
     def __init__(self, model: GINModel, max_nodes_per_batch: int = 8192,
                  max_graphs_per_batch: int = 256, mesh=None):
+        from ginfinity_tpu.utils.jaxinit import start_backend_warmup
+
+        start_backend_warmup()  # overlap backend bring-up with batch prep
         self.model = model
         self.max_nodes_per_batch = max_nodes_per_batch
         self.max_graphs_per_batch = max_graphs_per_batch

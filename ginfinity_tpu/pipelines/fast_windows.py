@@ -449,26 +449,14 @@ def _embed_windows_stacked_jit(config: GINConfig, params, state, feats, pts,
     return out.reshape(w_cap, -1)
 
 
-def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
-                         mask_threshold=0.0):
-    """Window embeddings for a corpus.  Returns a list of
-    (starts, embeddings) per structure.
-
-    Structures are grouped by padded length (the capacity ladder), each
-    group's feature/pair arrays stacked into one [S, n_cap] upload, and
-    every window in the group embedded by a single device program that
-    maps over flat (structure, start) descriptors — dispatch and link
-    latency amortize over the whole group instead of paying per
-    structure (the round-1 bottleneck: ~100 dispatches for the bench
-    corpus; now one per length bucket).
-    """
+def _prep_corpus_groups(cfg, structures, L, keep_paired_neighbors,
+                        mask_threshold, max_programs=None):
+    """Host preprocessing + capacity-ladder grouping shared by the run
+    and prewarm paths.  Returns (per, groups).  ``max_programs`` merges
+    the smallest length buckets upward until at most that many remain."""
     from ginfinity_tpu.graphs.batching import _round_capacity
     from ginfinity_tpu.pipelines.windows import window_starts_mask
 
-    cfg = model.config
-    empty = (np.zeros(0, np.int64), np.zeros((0, cfg.output_dim), np.float32))
-
-    # host preprocessing: pair tables, window masks, features
     per = [None] * len(structures)
     for i, s in enumerate(structures):
         pt = pair_table(s)
@@ -487,33 +475,89 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
     for i, item in enumerate(per):
         if item is not None:
             groups.setdefault(item[0], []).append(i)
+    if max_programs and len(groups) > max_programs:
+        items = sorted(groups.items())
+        while len(items) > max_programs:
+            (nc0, i0), (nc1, i1) = items[0], items[1]
+            items = sorted([(nc1, i0 + i1)] + items[2:])
+        groups = dict(items)
+    return per, groups
+
+
+def _pack_group(cfg, per, n_cap, idxs):
+    """Stacked padded arrays + window descriptors for one ladder group."""
+    from ginfinity_tpu.graphs.batching import _round_capacity
+
+    s_cap = _round_capacity(len(idxs))
+    feats = np.zeros((s_cap, n_cap, cfg.node_feature_dim), np.float32)
+    pts_p = np.full((s_cap, n_cap), -1, np.int32)
+    sidx_parts, starts_parts = [], []
+    b_cap = p_cap = 0
+    for local, i in enumerate(idxs):
+        _, feat, pt, n, starts, b_max, p_max = per[i]
+        feats[local, :n] = feat
+        pts_p[local, :n] = pt
+        sidx_parts.append(np.full(starts.size, local, np.int32))
+        starts_parts.append(starts)
+        b_cap = max(b_cap, b_max)
+        p_cap = max(p_cap, p_max)
+    sidx = np.concatenate(sidx_parts)
+    starts_all = np.concatenate(starts_parts)
+    w_cap = _round_capacity(sidx.size)
+    # pad descriptors with (slot 0, start 0): slot 0 is a real
+    # structure with n >= L, so the padded windows are valid compute
+    # whose results are simply discarded
+    sidx_p = np.zeros(w_cap, np.int32)
+    sidx_p[: sidx.size] = sidx
+    starts_p = np.zeros(w_cap, np.int32)
+    starts_p[: starts_all.size] = starts_all
+    return feats, pts_p, sidx_p, starts_p, p_cap, b_cap, w_cap
+
+
+def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
+                         mask_threshold=0.0, parallel_compile=True,
+                         max_programs=None):
+    """Window embeddings for a corpus.  Returns a list of
+    (starts, embeddings) per structure.
+
+    Structures are grouped by padded length (the capacity ladder), each
+    group's feature/pair arrays stacked into one [S, n_cap] upload, and
+    every window in the group embedded by a single device program that
+    maps over flat (structure, start) descriptors — dispatch and link
+    latency amortize over the whole group instead of paying per
+    structure (the round-1 bottleneck: ~100 dispatches for the bench
+    corpus; now one per length bucket).
+
+    ``parallel_compile``: dispatch the groups from a small thread pool so
+    cold compiles / persistent-cache executable loads of DIFFERENT
+    ladder programs overlap (they serialize on the main thread
+    otherwise; XLA compilation releases the GIL).  Steady-state
+    behaviour is unchanged — threads only overlap host-side work.
+
+    ``max_programs``: merge the smallest length buckets upward until at
+    most this many device programs remain.  First-run latency on a
+    remote TPU is dominated by per-program device loads (~25-30 s each,
+    serialized on the worker even when compilation itself hits the
+    persistent cache), so ``max_programs=1`` trades a few percent of
+    padding compute for a single load.
+    """
+    from ginfinity_tpu.utils.jaxinit import join_backend_warmup, start_backend_warmup
+
+    start_backend_warmup()  # overlap backend bring-up with host prep
+    cfg = model.config
+    empty = (np.zeros(0, np.int64), np.zeros((0, cfg.output_dim), np.float32))
+    per, groups = _prep_corpus_groups(
+        cfg, structures, L, keep_paired_neighbors, mask_threshold, max_programs
+    )
+    # a large first execution on a cold backend degrades ~100x (see
+    # jaxinit.start_backend_warmup); fence before the real dispatches
+    join_backend_warmup()
 
     # dispatch phase: one async program per group
-    pending = []
-    for n_cap, idxs in sorted(groups.items()):
-        s_cap = _round_capacity(len(idxs))
-        feats = np.zeros((s_cap, n_cap, cfg.node_feature_dim), np.float32)
-        pts_p = np.full((s_cap, n_cap), -1, np.int32)
-        sidx_parts, starts_parts = [], []
-        b_cap = p_cap = 0
-        for local, i in enumerate(idxs):
-            _, feat, pt, n, starts, b_max, p_max = per[i]
-            feats[local, :n] = feat
-            pts_p[local, :n] = pt
-            sidx_parts.append(np.full(starts.size, local, np.int32))
-            starts_parts.append(starts)
-            b_cap = max(b_cap, b_max)
-            p_cap = max(p_cap, p_max)
-        sidx = np.concatenate(sidx_parts)
-        starts_all = np.concatenate(starts_parts)
-        w_cap = _round_capacity(sidx.size)
-        # pad descriptors with (slot 0, start 0): slot 0 is a real
-        # structure with n >= L, so the padded windows are valid compute
-        # whose results are simply discarded
-        sidx_p = np.zeros(w_cap, np.int32)
-        sidx_p[: sidx.size] = sidx
-        starts_p = np.zeros(w_cap, np.int32)
-        starts_p[: starts_all.size] = starts_all
+    def dispatch(n_cap, idxs):
+        feats, pts_p, sidx_p, starts_p, p_cap, b_cap, w_cap = _pack_group(
+            cfg, per, n_cap, idxs
+        )
         emb = _embed_windows_stacked_jit(
             cfg, model.params, model.state,
             jnp.asarray(feats), jnp.asarray(pts_p),
@@ -521,7 +565,16 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
             L, keep_paired_neighbors,
             _cap_ladder(p_cap), _cap_ladder(b_cap), _chunk_for(w_cap),
         )
-        pending.append((idxs, emb))
+        return idxs, emb
+
+    items = sorted(groups.items())
+    if parallel_compile and len(items) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+            pending = list(ex.map(lambda kv: dispatch(*kv), items))
+    else:
+        pending = [dispatch(*kv) for kv in items]
 
     # fetch phase: device compute for later groups overlaps these copies
     results = [empty] * len(structures)

@@ -322,24 +322,36 @@ def _consistency_device_round_fn():
 
 _TILE_TC = 8  # intermediate sequences per scratch slab
 _TILE_TP = 8  # pairs per scatter tile
+_MAX_PAIRS_PER_CALL = 2048  # per-device-call bound (multiple of _TILE_TP)
 
 
-def _pack_sparse_posteriors(post: dict, N: int, Lmax: int, k: int, TC: int):
-    """Row-compacted [Np, Np, Lmax, k] values/indices for both pair
-    directions (Np = N padded to a TC multiple), plus the presence mask."""
+def _pack_sparse_posteriors(post: dict, N: int, Lmax: int, k: int,
+                            TC: int, TP: int):
+    """Compact slot form: the device never holds an [N, N, ...] posterior
+    tensor — only one row-top-k slab per pair DIRECTION (slot 2t =
+    pairs[t] forward, 2t+1 = reverse) plus an [Np, Np] int32 slot map
+    (-1 = pair absent; the -1 diagonal also excludes C in {a, b}).
+
+    Returns (pairs, Cv [2P, Lmax, k] f32, Ci [2P, Lmax, k] i32, M)."""
     Np = -(-N // TC) * TC
-    Pv = np.zeros((Np, Np, Lmax, k), np.float32)
-    Pi = np.zeros((Np, Np, Lmax, k), np.int32)
-    E = np.zeros((Np, Np), bool)
-    for (a, b), P in post.items():
-        E[a, b] = E[b, a] = True
-        for (x, y), M in (((a, b), P), ((b, a), P.T)):
-            rows, cols = M.shape
+    pairs = sorted(post.keys())
+    P_pad = -(-max(len(pairs), 1) // TP) * TP
+    Cv = np.zeros((2 * P_pad, Lmax, k), np.float32)
+    Ci = np.zeros((2 * P_pad, Lmax, k), np.int32)
+    M = np.full((Np, Np), -1, np.int32)
+    for t, (a, b) in enumerate(pairs):
+        Pm = post[(a, b)]
+        for slot, (x, y), Mx in (
+            (2 * t, (a, b), Pm),
+            (2 * t + 1, (b, a), Pm.T),
+        ):
+            rows, cols = Mx.shape
             kk = min(k, cols)
-            idx = np.argpartition(-M, kk - 1, axis=1)[:, :kk]
-            Pv[x, y, :rows, :kk] = np.take_along_axis(M, idx, axis=1)
-            Pi[x, y, :rows, :kk] = idx
-    return Pv, Pi, E
+            idx = np.argpartition(-Mx, kk - 1, axis=1)[:, :kk]
+            Cv[slot, :rows, :kk] = np.take_along_axis(Mx, idx, axis=1)
+            Ci[slot, :rows, :kk] = idx
+            M[x, y] = slot
+    return pairs, Cv, Ci, M
 
 
 def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int):
@@ -354,20 +366,24 @@ def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int):
 
     densify_b = jax.vmap(densify)
 
-    @jax.jit
-    def round_fn(Pv, Pi, E, pa, pb, pvalid, lam, pmin):
-        Np = Pv.shape[0]
+    def round_fn(Cv, Ci, M, pa, pb, pvalid, lam, pmin):
+        Np = M.shape[0]
         c0s = jnp.arange(0, Np, TC)
 
+        def slab(slots):  # [T] slot ids (clamped; callers mask absent)
+            s = jnp.maximum(slots, 0)
+            return densify_b(Cv[s], Ci[s])
+
         def one_pair(a, b, valid):
-            Pab = densify(Pv[a, b], Pi[a, b])
+            Pab = slab(M[a, b][None])[0]
 
             def cstep(carry, c0):
                 acc, cnt = carry
                 cs = c0 + jnp.arange(TC)
-                m = (E[a, cs] & E[cs, b]).astype(f32)  # diag(E)=False
-                A = densify_b(Pv[a][cs], Pi[a][cs]) * m[:, None, None]
-                B = densify_b(Pv[cs, b], Pi[cs, b])
+                sac, scb = M[a, cs], M[cs, b]
+                m = ((sac >= 0) & (scb >= 0)).astype(f32)
+                A = slab(sac) * m[:, None, None]
+                B = slab(scb)
                 acc = acc + jnp.einsum(
                     "cik,ckj->ij", A, B,
                     precision=jax.lax.Precision.HIGHEST,
@@ -389,57 +405,97 @@ def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int):
 
         one_pair_v = jax.vmap(one_pair)
 
-        def tile_step(carry, t0):
-            nPv, nPi = carry
+        def tile_compute(t0):
             ts = t0 + jnp.arange(TP)
-            a, b, val = pa[ts], pb[ts], pvalid[ts]
-            vab, iab, vba, iba = one_pair_v(a, b, val)
-            # padding pairs carry (a, b) = (0, 0) and zero values: they
-            # scatter zeros onto the (always-zero) diagonal — harmless
-            nPv = nPv.at[a, b].set(vab).at[b, a].set(vba)
-            nPi = nPi.at[a, b].set(iab).at[b, a].set(iba)
-            return (nPv, nPi), None
+            return one_pair_v(pa[ts], pb[ts], pvalid[ts])
 
-        init = (jnp.zeros_like(Pv), jnp.zeros_like(Pi))
-        (nPv, nPi), _ = jax.lax.scan(
-            tile_step, init, jnp.arange(0, pa.shape[0], TP)
+        # lax.map: stacked outputs, no multi-GB carry to copy per step
+        n_pairs = pa.shape[0]
+        vab, iab, vba, iba = jax.lax.map(
+            tile_compute, jnp.arange(0, n_pairs, TP)
         )
-        return nPv, nPi
+        # interleave forward/reverse back into slot order [2P, L, k];
+        # padding pairs (valid = 0) write all-zero slots — harmless
+        nCv = jnp.stack(
+            [vab.reshape(n_pairs, Lmax, k), vba.reshape(n_pairs, Lmax, k)],
+            axis=1,
+        ).reshape(2 * n_pairs, Lmax, k)
+        nCi = jnp.stack(
+            [iab.reshape(n_pairs, Lmax, k), iba.reshape(n_pairs, Lmax, k)],
+            axis=1,
+        ).reshape(2 * n_pairs, Lmax, k)
+        return nCv, nCi
 
-    return round_fn
+    return jax.jit(round_fn)
 
 
 def _run_consistency_tiled(post, N, rounds, lam, topk, pmin, Lmax):
-    """Run all rounds on the sparse device representation; returns
-    (Pv, Pi, E) as device arrays plus the jnp module."""
+    """Run all rounds on the compact sparse device representation;
+    returns (pairs, Cv_dev [2P, Lmax, k], Ci_dev)."""
     import jax.numpy as jnp
 
     k = min(int(topk), Lmax)
     TC, TP = _TILE_TC, _TILE_TP
-    Pv, Pi, E = _pack_sparse_posteriors(post, N, Lmax, k, TC)
-    pairs = sorted(post.keys())
-    n_pairs = -(-len(pairs) // TP) * TP
+    pairs, Cv, Ci, M = _pack_sparse_posteriors(post, N, Lmax, k, TC, TP)
+    n_pairs = Cv.shape[0] // 2
     pa = np.zeros(n_pairs, np.int32)
     pb = np.zeros(n_pairs, np.int32)
     pvalid = np.zeros(n_pairs, np.float32)
     for t, (a, b) in enumerate(pairs):
         pa[t], pb[t], pvalid[t] = a, b, 1.0
     round_fn = _tiled_consistency_round_fn(Lmax, k, TC, TP)
-    Pv_d, Pi_d = jnp.asarray(Pv), jnp.asarray(Pi)
-    E_d = jnp.asarray(E)
-    pa_d, pb_d, pv_d = jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(pvalid)
-    for _ in range(rounds):
-        Pv_d, Pi_d = round_fn(
-            Pv_d, Pi_d, E_d, pa_d, pb_d, pv_d,
-            jnp.float32(lam), jnp.float32(pmin),
+
+    def upload_chunked(x, budget=96 << 20):
+        # remote-TPU transports cap single-transfer sizes; slice big
+        # uploads along the slot axis and concatenate on device
+        if x.nbytes <= budget:
+            return jnp.asarray(x)
+        step = max(1, budget // max(1, x[0].nbytes))
+        return jnp.concatenate(
+            [jnp.asarray(x[s : s + step]) for s in range(0, x.shape[0], step)]
         )
-    return Pv_d, Pi_d, E_d
+
+    Cv_d, Ci_d = upload_chunked(Cv), upload_chunked(Ci)
+    M_d = jnp.asarray(M)
+
+    # Bound the per-call program size: one huge lax.map over thousands of
+    # pairs crashes the remote TPU worker; blocks of <= _MAX_PAIRS_PER_CALL
+    # pairs (all padded to one size -> one compiled program) are robust
+    # and equivalent (each round reads only the previous round's slabs).
+    block = _MAX_PAIRS_PER_CALL
+    if n_pairs <= block:
+        blocks = [(pa, pb, pvalid)]
+    else:
+        blocks = []
+        for s in range(0, n_pairs, block):
+            ba = np.zeros(block, np.int32)
+            bb = np.zeros(block, np.int32)
+            bv = np.zeros(block, np.float32)
+            e = min(n_pairs, s + block)
+            ba[: e - s], bb[: e - s], bv[: e - s] = pa[s:e], pb[s:e], pvalid[s:e]
+            blocks.append((ba, bb, bv))
+    blocks = [
+        (jnp.asarray(ba), jnp.asarray(bb), jnp.asarray(bv))
+        for ba, bb, bv in blocks
+    ]
+    lam_d, pmin_d = jnp.float32(lam), jnp.float32(pmin)
+    for _ in range(rounds):
+        outs = [
+            round_fn(Cv_d, Ci_d, M_d, ba, bb, bv, lam_d, pmin_d)
+            for ba, bb, bv in blocks
+        ]
+        if len(outs) == 1:
+            Cv_d, Ci_d = outs[0]
+        else:
+            Cv_d = jnp.concatenate([o[0] for o in outs])[: 2 * n_pairs]
+            Ci_d = jnp.concatenate([o[1] for o in outs])[: 2 * n_pairs]
+    return pairs, Cv_d, Ci_d
 
 
-def _sparse_bytes(N: int, Lmax: int, topk: int) -> int:
-    # Pv f32 + Pi i32, old + new copies inside the round program
+def _sparse_bytes(n_pairs: int, Lmax: int, topk: int) -> int:
+    # per pair: 2 slots x (f32 values + i32 indices), old + new copies
     k = min(int(topk), Lmax)
-    return 2 * 2 * N * N * Lmax * k * 4
+    return 2 * n_pairs * Lmax * k * 8 * 2
 
 
 def run_consistency_rounds(
@@ -462,19 +518,19 @@ def run_consistency_rounds(
         lengths[b] = P.shape[1]
     Lmax = int(lengths.max())
     if 2 * (N * N * Lmax * Lmax * 4) > hbm_budget_bytes:
-        if _sparse_bytes(N, Lmax, topk) <= hbm_budget_bytes:
-            Pv, Pi, _ = _run_consistency_tiled(
+        if _sparse_bytes(len(post), Lmax, topk) <= hbm_budget_bytes:
+            pairs, Cv, Ci = _run_consistency_tiled(
                 post, N, rounds, lam, topk, pmin, Lmax
             )
-            Pv = np.asarray(Pv)
-            Pi = np.asarray(Pi)
+            Cv = np.asarray(Cv)
+            Ci = np.asarray(Ci)
             out = {}
-            for (a, b) in post:
+            for t, (a, b) in enumerate(pairs):
                 la, lb = int(lengths[a]), int(lengths[b])
                 P = np.zeros((la, lb), np.float32)
-                rows = np.repeat(np.arange(la), Pv.shape[-1])
-                cols = Pi[a, b, :la].ravel()
-                vals = Pv[a, b, :la].ravel()
+                rows = np.repeat(np.arange(la), Cv.shape[-1])
+                cols = Ci[2 * t, :la].ravel()
+                vals = Cv[2 * t, :la].ravel()
                 nz = vals > 0
                 P[rows[nz], cols[nz]] = vals[nz]
                 out[(a, b)] = P
@@ -528,17 +584,22 @@ def consistency_rounds_to_distances(
     if rounds <= 0:
         return build_distance_matrix(post, N)
     if 2 * (N * N * Lmax * Lmax * 4) > hbm_budget_bytes:
-        if _sparse_bytes(N, Lmax, topk) <= hbm_budget_bytes:
-            import jax.numpy as jnp
-
-            Pv, _, E = _run_consistency_tiled(
+        if _sparse_bytes(len(post), Lmax, topk) <= hbm_budget_bytes:
+            pairs, Cv, _ = _run_consistency_tiled(
                 post, N, rounds, lam, topk, pmin, Lmax
             )
-            sums = Pv.sum(axis=(-1, -2))
-            cnts = (Pv > 0).sum(axis=(-1, -2))
-            D = jnp.where(cnts > 0, 1.0 - sums / jnp.maximum(cnts, 1), 1.0)
-            D = jnp.where(E, jnp.clip(D, 0.0, 1.0), 0.0)
-            return np.asarray(D, np.float32)[:N, :N]
+            # only [2P] per-slot reductions come back over the link
+            sums = np.asarray(Cv.sum(axis=(-1, -2)))
+            cnts = np.asarray((Cv > 0).sum(axis=(-1, -2)))
+            D = np.zeros((N, N), np.float32)
+            for t, (a, b) in enumerate(pairs):
+                d = (
+                    1.0 - sums[2 * t] / cnts[2 * t]
+                    if cnts[2 * t] > 0
+                    else 1.0
+                )
+                D[a, b] = D[b, a] = min(1.0, max(0.0, float(d)))
+            return D
         out = post
         for _ in range(rounds):
             out = consistency_round(out, N, lam, topk, pmin)

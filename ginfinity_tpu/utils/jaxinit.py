@@ -26,3 +26,44 @@ def init_jax_defaults() -> None:
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         except Exception:  # pragma: no cover - cache is best-effort
             pass
+
+
+_warmup_thread = None
+
+
+def start_backend_warmup():
+    """Bring the device backend up on a background thread.
+
+    The first device op of a fresh process pays the full backend/session
+    bring-up (20-35 s over a remote-TPU tunnel) — and when the first op
+    is a LARGE program, its first execution degrades far worse (measured
+    147 s for the first window-ladder fetch cold vs ~1 s for the same
+    fetch after a trivial op).  Kicking a trivial op on a daemon thread
+    at pipeline entry overlaps the bring-up with host preprocessing;
+    call :func:`join_backend_warmup` before the first real dispatch.
+
+    Idempotent; safe to call from any pipeline."""
+    global _warmup_thread
+    if _warmup_thread is None:
+        import threading
+
+        def _probe():
+            try:
+                import numpy as np
+
+                import jax.numpy as jnp
+
+                np.asarray(jnp.zeros(8) + 1)
+            except Exception:  # pragma: no cover - warmup is best-effort
+                pass
+
+        _warmup_thread = threading.Thread(
+            target=_probe, name="ginfinity-backend-warmup", daemon=True
+        )
+        _warmup_thread.start()
+    return _warmup_thread
+
+
+def join_backend_warmup() -> None:
+    if _warmup_thread is not None:
+        _warmup_thread.join()

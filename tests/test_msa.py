@@ -152,7 +152,7 @@ class TestConsistency:
         want = dict(post)
         for _ in range(2):
             want = consistency_round(want, N, 0.5, 4, 1e-4)
-        budget = _sparse_bytes(N, Lmax, 4)
+        budget = _sparse_bytes(len(post), Lmax, 4)
         assert budget < 2 * N * N * Lmax * Lmax * 4  # dense path excluded
         got = run_consistency_rounds(
             post, N, 2, 0.5, 4, 1e-4, hbm_budget_bytes=budget
@@ -160,6 +160,26 @@ class TestConsistency:
         assert set(got) == set(want)
         for key in want:
             np.testing.assert_allclose(got[key], want[key], atol=2e-6, rtol=2e-5)
+
+    def test_tiled_multi_block_equals_single_call(self, monkeypatch):
+        """Bounding pairs-per-device-call (the remote-worker robustness
+        split) must not change results or slot alignment."""
+        import ginfinity_tpu.pipelines.msa as msa_mod
+
+        rng = np.random.default_rng(11)
+        lengths = [12] * 7  # 21 pairs
+        post = _random_sparse_posteriors(rng, lengths, topk=4)
+        budget = msa_mod._sparse_bytes(len(post), 12, 4)
+        want = msa_mod.run_consistency_rounds(
+            post, 7, 2, 0.5, 4, 1e-4, hbm_budget_bytes=budget
+        )
+        monkeypatch.setattr(msa_mod, "_MAX_PAIRS_PER_CALL", 8)
+        got = msa_mod.run_consistency_rounds(
+            post, 7, 2, 0.5, 4, 1e-4, hbm_budget_bytes=budget
+        )
+        assert set(got) == set(want)
+        for key in want:
+            np.testing.assert_allclose(got[key], want[key], atol=1e-6)
 
     def test_tiled_distances_equal_host(self):
         from ginfinity_tpu.pipelines.msa import (
@@ -177,7 +197,7 @@ class TestConsistency:
         for _ in range(2):
             want = consistency_round(want, N, 0.5, 4, 1e-4)
         D_want = build_distance_matrix(want, N)
-        budget = _sparse_bytes(N, Lmax, 4)
+        budget = _sparse_bytes(len(post), Lmax, 4)
         D_got = consistency_rounds_to_distances(
             post, N, 2, 0.5, 4, 1e-4, hbm_budget_bytes=budget
         )

@@ -44,6 +44,38 @@ class TestTopKSearcher:
         # nearest neighbour of a corpus row is itself at distance 0
         assert i[0, 0] == 0 and v[0, 0] < 1e-5
 
+    @pytest.mark.parametrize("storage", ["bf16", "int8"])
+    @pytest.mark.parametrize("metric", ["sqeuclidean", "cosine", "dot"])
+    def test_compressed_storage_recall(self, data, storage, metric):
+        """Compressed HBM residency + exact f32 host re-score: recall
+        stays 1.0 on this well-separated corpus, and the returned scores
+        are exact (computed from the retained f32 rows)."""
+        corpus, queries = data
+        s = TopKSearcher(
+            corpus, metric=metric, query_block=64, storage=storage
+        )
+        v, i = s.search(queries, k=10)
+        tv, ti = brute_force_topk(corpus, queries, 10, metric=metric)
+        assert recall_at_k(i, ti) == 1.0
+        np.testing.assert_allclose(np.sort(v, 1), np.sort(tv, 1), rtol=1e-4, atol=1e-4)
+
+    def test_compressed_scores_are_exact_distances(self, data):
+        corpus, queries = data
+        s = TopKSearcher(corpus, query_block=64, storage="int8")
+        v, i = s.search(queries[:4], k=5)
+        for q in range(4):
+            d = np.sum((corpus[i[q]] - queries[q]) ** 2, axis=1)
+            np.testing.assert_allclose(v[q], d, rtol=1e-5, atol=1e-6)
+
+    def test_compressed_uneven_padding(self):
+        rng = np.random.default_rng(2)
+        corpus = rng.normal(size=(13, 16)).astype(np.float32)
+        s = TopKSearcher(corpus, query_block=4, storage="bf16")
+        v, i = s.search(corpus, k=13)
+        assert i.max() < 13
+        for q in range(13):
+            assert i[q, 0] == q
+
     def test_uneven_corpus_padding(self):
         # corpus size not divisible by 8 devices
         rng = np.random.default_rng(1)
