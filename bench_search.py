@@ -125,9 +125,10 @@ def run_one(corpus, queries, k, storage, precision, label):
     nq_check = min(256, len(queries))
     t0 = time.perf_counter()
     truth = np.empty((nq_check, k), np.int64)
+    truth_d = np.empty((nq_check, k), np.float32)
     blk = 2_000_000
     if corpus.shape[0] <= blk:
-        _, truth = brute_force_topk(corpus, queries[:nq_check], k)
+        truth_d, truth = brute_force_topk(corpus, queries[:nq_check], k)
     else:
         best_d = np.full((nq_check, k), np.inf, np.float32)
         best_i = np.zeros((nq_check, k), np.int64)
@@ -143,10 +144,20 @@ def run_one(corpus, queries, k, storage, precision, label):
             sel = np.argsort(md, axis=1, kind="stable")[:, :k]
             best_d = np.take_along_axis(md, sel, axis=1)
             best_i = np.take_along_axis(mi, sel, axis=1)
-        truth = best_i
+        truth, truth_d = best_i, best_d
     bf_dt = time.perf_counter() - t0
     bf_qps = nq_check / bf_dt
     recall = recall_at_k(ids[:nq_check], truth)
+    # Distance-based recall: corpora with duplicate/equidistant rows
+    # (real overlapping windows!) make ID recall penalize legitimate
+    # tie swaps; a returned neighbor counts if its TRUE distance is
+    # within the k-th true distance (+ tolerance).
+    q = queries[:nq_check]
+    rows = corpus[ids[:nq_check]]
+    true_d = np.sum((rows - q[:, None, :]) ** 2, axis=2, dtype=np.float32)
+    kth = truth_d[:, -1][:, None]
+    tol = 1e-5 + 1e-5 * np.abs(kth)
+    recall_dist = float(np.mean(true_d <= kth + tol))
 
     row = {
         "label": label,
@@ -156,6 +167,7 @@ def run_one(corpus, queries, k, storage, precision, label):
         "storage": storage,
         "precision": precision,
         "recall_at_k_vs_brute_force": round(float(recall), 5),
+        "recall_at_k_distance_based": round(recall_dist, 5),
         "topk_queries_per_sec": round(qps, 1),
         "numpy_brute_force_queries_per_sec": round(bf_qps, 2),
         "speedup": round(qps / bf_qps, 1),

@@ -123,11 +123,12 @@ class TopKSearcher:
 
     # -- compiled search ----------------------------------------------------
 
-    def _build(self, k: int):
+    def _build(self, k: int, k_base: int | None = None):
         mesh = self.mesh
         n_dev = mesh.devices.size
         shard_rows = self._corpus.shape[0] // n_dev
         metric = self.metric
+        k_base = k_base or k
 
         # default "highest" = full f32 MXU passes: the bf16 default pass
         # loses rank order for near-equidistant neighbours (recall@10
@@ -142,6 +143,13 @@ class TopKSearcher:
         n_tiles = shard_rows // tile
         tile_k = min(k, tile)
         storage = self.storage
+        # Over-fetch mode (compressed storage): per-tile candidates are
+        # EMITTED as scan outputs and merged with one final top-k — a
+        # per-step running merge at the over-fetched k measured 2-4x
+        # slower.  (Tried and rejected: batched 3D top_k over sub-tiles
+        # is 10x slower than 2D on TPU; approx_max_k slower still here.)
+        cand_k = tile_k
+        emit_all = self.storage != "f32"
 
         def shard_search(corpus, scale, valid, sqnorm, queries):
             # corpus [rows_local, D], queries [Q, D] replicated.
@@ -166,7 +174,6 @@ class TopKSearcher:
                 q_mat = queries
 
             def tile_step(carry, xs):
-                best_v, best_g = carry  # [Q, local_k]
                 c_t, sc_t, v_t, s_t, base = xs
                 if storage == "int8":
                     dots = jax.lax.dot_general(
@@ -184,13 +191,27 @@ class TopKSearcher:
                         q_mat, c_t,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                        precision=prec,
+                        # bf16 storage: exactness comes from the host
+                        # re-score; HIGHEST on bf16 inputs only forces a
+                        # slow multi-pass matmul for nothing
+                        precision=(
+                            jax.lax.Precision.DEFAULT
+                            if storage == "bf16"
+                            else prec
+                        ),
                     )  # [Q, tile]
                 if metric == "sqeuclidean":
                     # maximize 2 q.c - ||c||^2  ==  minimize ||q - c||^2
                     scores = 2.0 * scores - s_t[None, :]
                 scores = jnp.where(v_t[None, :] > 0, scores, _NEG)
                 tv, ti = jax.lax.top_k(scores, tile_k)
+                if emit_all:
+                    # over-fetch mode: EMIT per-tile candidates (one
+                    # final top-k instead of a per-step merge — the
+                    # running top_k at the over-fetched k measured 6x
+                    # slower than the whole scan at the base k)
+                    return carry, (tv, ti + base)
+                best_v, best_g = carry  # [Q, local_k]
                 vs = jnp.concatenate([best_v, tv], axis=1)
                 gs = jnp.concatenate([best_g, ti + base], axis=1)
                 nv, ni = jax.lax.top_k(vs, local_k)
@@ -200,23 +221,27 @@ class TopKSearcher:
             # a shard may hold fewer than k rows; the merge still sees
             # n_dev * local_k >= k candidates
             local_k = min(k, shard_rows)
-            init = (
-                jnp.full((q, local_k), _NEG, jnp.float32),
-                jnp.zeros((q, local_k), jnp.int32),
-            )
             bases = shard_base + jnp.arange(n_tiles, dtype=jnp.int32) * tile
             scale_tiles = scale.reshape(n_tiles, tile)  # dummy unless int8
-            (v, gids), _ = jax.lax.scan(
-                tile_step,
-                init,
-                (
-                    corpus.reshape(n_tiles, tile, -1),
-                    scale_tiles,
-                    valid.reshape(n_tiles, tile),
-                    sqnorm.reshape(n_tiles, tile),
-                    bases,
-                ),
+            xs = (
+                corpus.reshape(n_tiles, tile, -1),
+                scale_tiles,
+                valid.reshape(n_tiles, tile),
+                sqnorm.reshape(n_tiles, tile),
+                bases,
             )
+            if emit_all:
+                _, (cv, ci) = jax.lax.scan(tile_step, 0, xs)
+                cv = jnp.transpose(cv, (1, 0, 2)).reshape(q, n_tiles * cand_k)
+                ci = jnp.transpose(ci, (1, 0, 2)).reshape(q, n_tiles * cand_k)
+                v, ni = jax.lax.top_k(cv, local_k)
+                gids = jnp.take_along_axis(ci, ni, axis=1)
+            else:
+                init = (
+                    jnp.full((q, local_k), _NEG, jnp.float32),
+                    jnp.zeros((q, local_k), jnp.int32),
+                )
+                (v, gids), _ = jax.lax.scan(tile_step, init, xs)
             # Gather the candidates from every shard over ICI.
             vs = jax.lax.all_gather(v, "data")  # [n_dev, Q, local_k]
             gs = jax.lax.all_gather(gids, "data")
@@ -247,9 +272,9 @@ class TopKSearcher:
         f32 on the host."""
         k = min(k, self.n)
         k_dev = k if self.storage == "f32" else min(self.n, self.overfetch * k)
-        if k_dev not in self._search_fns:
-            self._search_fns[k_dev] = self._build(k_dev)
-        fn = self._search_fns[k_dev]
+        if (k_dev, k) not in self._search_fns:
+            self._search_fns[(k_dev, k)] = self._build(k_dev, k)
+        fn = self._search_fns[(k_dev, k)]
 
         queries = np.asarray(queries, np.float32)
         if self.metric == "cosine":

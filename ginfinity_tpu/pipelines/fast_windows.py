@@ -12,15 +12,19 @@ same program.  Window semantics are identical to
 neighbors pull-in, backbone cuts, adjacent-pair quirk); pooled
 embeddings match the file-based path to float32 tolerance.
 
-Layout per window (capacity L + P nodes): slots [0, L) hold the
-in-window positions; pulled outside partners are compacted into slots
-[L, L + P) by an on-device cumsum scatter, where P is the maximum pulled
-count over the group's windows (computed exactly on the host via
-interval sums, then rounded to a small power-of-two ladder).  In-window
-base-pair edges are compacted the same way into B slots.  Graph-level
-pooling is invariant to node ordering, so this matches the file-based
-path bit-for-bit in f32 while cutting node padding ~1.8x and edge
-padding ~2x versus the naive 2L layout.
+Layout (standard configs, the hot path): ALIGNED — 2L slots per window,
+slot i < L holds position start+i and slot L+i holds position i's
+pulled outside partner (masked when absent).  Round 3's ablation showed
+~99% of device time was the per-window graph BUILD (compaction
+scatters, edge-array assembly), not the encoder; the aligned layout
+removes every scatter and all edge arrays — backbone and pulled-partner
+messages are axis shifts, in-window base-pair messages one
+take_along_axis row-gather per layer, and the edge-attr embeddings are
+constant [H] vectors (`_forward_windows_aligned`; 28k -> 52k emb/s
+device-only, BASELINE.md).  Exotic configs fall back to the generic
+compact `_window_batch` + flattened `forward_once` path.  Graph-level
+pooling is invariant to node ordering, so both match the file-based
+path to f32 tolerance.
 """
 
 from __future__ import annotations
@@ -69,9 +73,8 @@ def _window_batch(feats_all, pts_all, si, start, L: int,
     ``p_cap``/``b_cap`` bound the pulled-partner and in-window base-pair
     slot counts (compact layout); ``None`` falls back to the loose upper
     bounds (L and L) for callers that cannot precompute them.
-    ``include_backbone=False`` omits the (i, i±1) backbone edges — used
-    by the dense chunk forward, which computes their messages as array
-    shifts instead of gather/scatter."""
+    ``include_backbone=False`` omits the (i, i±1) backbone edges (their
+    messages can be computed as array shifts instead)."""
     if p_cap is None:
         p_cap = L if keep_paired_neighbors else 0
     if b_cap is None:
@@ -205,13 +208,15 @@ def _embed_windows_jit(config: GINConfig, params, state, feat, pt, starts,
     dense = _dense_forward_ok(config)
 
     def chunk_fn(st):
+        if dense:
+            return _forward_windows_aligned(
+                config, params, state, feat[None], pt[None],
+                jnp.zeros_like(st), st, L, keep_paired_neighbors,
+            )
         wb = jax.vmap(
             lambda s: _window_batch(feat[None], pt[None], 0, s, L,
-                                    keep_paired_neighbors, p_cap, b_cap,
-                                    include_backbone=not dense)
+                                    keep_paired_neighbors, p_cap, b_cap)
         )(st)
-        if dense:
-            return _forward_windows_dense(config, params, state, wb, chunk, n_per, L)
         gb = _flatten_window_chunk(wb, chunk, n_per)
         return forward_once(config, params, state, gb)[0]
 
@@ -313,85 +318,109 @@ def _flatten_window_chunk(wb: GraphBatch, chunk: int, n_per: int) -> GraphBatch:
     )
 
 
-def _dense_forward_ok(config: GINConfig) -> bool:
-    """The dense chunk forward covers the window pipeline's config space:
-    standard encoding (4-dim edges), graph/none norm, add/mean pooling.
-    Anything else routes through the generic flattened forward_once."""
-    return (
-        config.edge_feature_dim == 4
-        and config.norm_type in ("graph", "none")
-        and config.pooling_type in ("global_add_pool", "global_mean_pool")
-    )
+def _forward_windows_aligned(config: GINConfig, params, state, feats_all,
+                             pts_all, si, st, L: int,
+                             keep_paired_neighbors: bool = True):
+    """Fused build + GINE forward for a chunk of windows in the ALIGNED
+    layout: slot i < L holds window position start+i; slot L+i holds the
+    pulled outside partner of position i (masked when absent).
 
+    The ablation story (BASELINE.md round 3): the encoder was ~1% of the
+    fused path's device time — ~99% was the per-window *graph build*
+    (compaction cumsum+scatter, edge-array assembly, many small vmapped
+    ops).  Aligning partners to their puller's position removes every
+    scatter and all edge arrays:
 
-def _forward_windows_dense(config: GINConfig, params, state, wb: GraphBatch,
-                           chunk: int, n_per: int, L: int):
-    """GINE forward specialized to a chunk of vmapped window batches
-    (every field carries a leading [chunk] axis; backbone edges omitted).
+    - backbone messages: axis shifts (as before);
+    - in-window base-pair messages: ONE take_along_axis row-gather per
+      layer (j_local is position-static);
+    - pulled-partner messages: an axis SHIFT by L (slots are aligned);
+    - edge embeddings: 6 constant [H] vectors (2 per edge class),
+      selected per position by the is_forward flag.
 
-    Windows are equal contiguous row slabs, so the segment ops of the
-    generic path become cheap dense ops:
-
-    - backbone messages (~70% of all edges) are axis-1 SHIFTS — the
-      receiver of (i±1 -> i) is a static neighbour row, and the two
-      backbone edge-attr vectors are constants, so per layer only two
-      [H] edge embeddings are needed;
-    - GraphNorm statistics and pooling are masked means over axis 1
-      instead of segment_sum + index gathers;
-    - only the irregular base-pair / pulled-partner edges (2(B+P) per
-      window) go through gather + segment_sum.
-
-    Same semantics as forward_once for the configs _dense_forward_ok
-    admits (parity-tested against the file-based engine path)."""
+    Semantics identical to the compact path (window semantics of
+    windows.slice_window; pooling is node-order invariant)."""
     from ginfinity_tpu.models.gine import _dense, _prec, apply_node_norm
 
     prec = _prec(config)
-    C = chunk
-    mask3 = wb.node_mask[..., None]  # [C, n_per, 1]
-    counts = jnp.maximum(wb.node_mask.sum(axis=1), 1.0)  # [C]
+    f32 = jnp.float32
+    C = si.shape[0]
+    H = config.hidden_dims[0]
+
+    idx = st[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]   # [C, L]
+    partner = pts_all[si[:, None], idx]                           # [C, L]
+    fw = feats_all[si[:, None], idx]                              # [C, L, F]
+    pfeat = feats_all[si[:, None], jnp.clip(partner, 0)]          # [C, L, F]
+    has = partner >= 0
+    adj = jnp.abs(partner - idx) == 1    # reference adjacent-pair quirk
+    bp_real = has & ~adj
+    in_win = (partner >= st[:, None]) & (partner < st[:, None] + L)
+    if keep_paired_neighbors:
+        pulled = (bp_real & ~in_win).astype(f32)                  # [C, L]
+    else:
+        pulled = jnp.zeros_like(idx, f32)
+    bp_in = (bp_real & in_win).astype(f32)
+    j_local = jnp.clip(partner - st[:, None], 0, L - 1)           # [C, L]
+    # is_forward of the message ARRIVING at each node (src < dst in
+    # original coordinates): at window pos i from partner j: j < i
+    fwd_into_w = (partner < idx).astype(f32)[..., None]           # [C, L, 1]
+    # at the pulled slot (holds j) from its puller i: i < j
+    fwd_into_p = (idx < partner).astype(f32)[..., None]
+
+    mask = jnp.concatenate([jnp.ones((C, L), f32), pulled], axis=1)
+    mask3 = mask[..., None]                                       # [C, 2L, 1]
+    counts = jnp.maximum(mask.sum(axis=1), 1.0)
+
+    node_feat = jnp.concatenate([fw, pfeat * pulled[..., None]], axis=1)
     x = _dense(
-        wb.node_feat.reshape(C * n_per, -1), params["node_encoder"], prec
-    ).reshape(C, n_per, -1)
+        node_feat.reshape(C * 2 * L, -1), params["node_encoder"], prec
+    ).reshape(C, 2 * L, -1)
 
-    # flat irregular edges with per-window offsets
-    offs = (jnp.arange(C, dtype=jnp.int32) * n_per)[:, None]
-    esrc = (wb.edge_src + offs).reshape(-1)
-    edst = (wb.edge_dst + offs).reshape(-1)
-    eattr = wb.edge_attr.reshape(esrc.shape[0], -1)
-    emask = wb.edge_mask.reshape(-1)
+    pos = jnp.arange(L)
+    m_next = (pos <= L - 2).astype(f32)[None, :, None]
+    m_prev = (pos >= 1).astype(f32)[None, :, None]
+    pulled3 = pulled[..., None]
+    bp3 = bp_in[..., None]
 
-    pos = jnp.arange(n_per)
-    # attrs [adjacent, base_pair, is_forward, is_backward]:
-    # (i+1 -> i) carries fwd=0; (i-1 -> i) carries fwd=1 (_window_batch)
-    attr_from_next = jnp.asarray([1.0, 0.0, 0.0, 1.0], jnp.float32)
-    attr_from_prev = jnp.asarray([1.0, 0.0, 1.0, 0.0], jnp.float32)
-    m_next = (pos <= L - 2).astype(x.dtype)[None, :, None]
-    m_prev = ((pos >= 1) & (pos <= L - 1)).astype(x.dtype)[None, :, None]
-    zrow = lambda a: jnp.zeros_like(a[:, :1, :])
+    def edge_vec(a):  # -> [H] embedding of one constant edge-attr row
+        return jnp.asarray(a, f32)
+
+    attrs = {
+        "adj_from_next": edge_vec([1.0, 0.0, 0.0, 1.0]),
+        "adj_from_prev": edge_vec([1.0, 0.0, 1.0, 0.0]),
+        "bp_f": edge_vec([0.0, 1.0, 1.0, 0.0]),   # is_forward = 1
+        "bp_b": edge_vec([0.0, 1.0, 0.0, 1.0]),
+    }
 
     for i in range(config.gin_layers):
         conv = params["convs"][i]
         h_in = x
-        eb_next = _dense(attr_from_next[None, :], conv["edge_lin"], prec)[0]
-        eb_prev = _dense(attr_from_prev[None, :], conv["edge_lin"], prec)[0]
-        x_next = jnp.concatenate([x[:, 1:, :], zrow(x)], axis=1)
-        x_prev = jnp.concatenate([zrow(x), x[:, :-1, :]], axis=1)
-        agg = (
-            jax.nn.relu(x_next + eb_next) * m_next
-            + jax.nn.relu(x_prev + eb_prev) * m_prev
+        eb = {k: _dense(v[None, :], conv["edge_lin"], prec)[0]
+              for k, v in attrs.items()}
+        xw = x[:, :L, :]
+        xp = x[:, L:, :]
+        zrow = jnp.zeros_like(xw[:, :1, :])
+        x_next = jnp.concatenate([xw[:, 1:, :], zrow], axis=1)
+        x_prev = jnp.concatenate([zrow, xw[:, :-1, :]], axis=1)
+        agg_w = (
+            jax.nn.relu(x_next + eb["adj_from_next"]) * m_next
+            + jax.nn.relu(x_prev + eb["adj_from_prev"]) * m_prev
         )
-        if esrc.shape[0]:
-            ee = _dense(eattr, conv["edge_lin"], prec)
-            xf = x.reshape(C * n_per, -1)
-            msg = jax.nn.relu(xf[esrc] + ee) * emask[:, None]
-            agg = agg + jax.ops.segment_sum(
-                msg, edst, num_segments=C * n_per
-            ).reshape(C, n_per, -1)
+        # in-window base pairs: x[j_local] rows + fwd-selected edge emb
+        xj = jnp.take_along_axis(xw, j_local[..., None], axis=1)
+        e_bp_w = fwd_into_w * eb["bp_f"] + (1.0 - fwd_into_w) * eb["bp_b"]
+        agg_w = agg_w + jax.nn.relu(xj + e_bp_w) * bp3
+        # pulled partners: slot L+i <-> window pos i (aligned: a shift by L)
+        agg_w = agg_w + jax.nn.relu(xp + e_bp_w) * pulled3
+        e_bp_p = fwd_into_p * eb["bp_f"] + (1.0 - fwd_into_p) * eb["bp_b"]
+        agg_p = jax.nn.relu(xw + e_bp_p) * pulled3
+        agg = jnp.concatenate([agg_w, agg_p], axis=1)
+
         h = (1.0 + conv["eps"]) * x + agg
-        hf = h.reshape(C * n_per, -1)
+        hf = h.reshape(C * 2 * L, -1)
         hf = jax.nn.relu(_dense(hf, conv["mlp0"], prec))
         hf = jax.nn.relu(_dense(hf, conv["mlp1"], prec))
-        h = hf.reshape(C, n_per, -1)
+        h = hf.reshape(C, 2 * L, -1)
         if config.norm_type == "graph":
             p = params["norms"][i]
             cnt = counts[:, None, None]
@@ -404,13 +433,25 @@ def _forward_windows_dense(config: GINConfig, params, state, wb: GraphBatch,
         x = h
 
     if config.normalize_nodes_before_pool:
-        x = apply_node_norm(config, state, x.reshape(C * n_per, -1)).reshape(
-            C, n_per, -1
+        x = apply_node_norm(config, state, x.reshape(C * 2 * L, -1)).reshape(
+            C, 2 * L, -1
         )
-    pooled = (x * mask3).sum(axis=1)  # [C, H]
+    x = x * mask3
+    pooled = x.sum(axis=1)
     if config.pooling_type == "global_mean_pool":
         pooled = pooled / counts[:, None]
     return _dense(pooled, params["fc"], prec)
+
+
+def _dense_forward_ok(config: GINConfig) -> bool:
+    """The dense chunk forward covers the window pipeline's config space:
+    standard encoding (4-dim edges), graph/none norm, add/mean pooling.
+    Anything else routes through the generic flattened forward_once."""
+    return (
+        config.edge_feature_dim == 4
+        and config.norm_type in ("graph", "none")
+        and config.pooling_type in ("global_add_pool", "global_mean_pool")
+    )
 
 
 @partial(jax.jit, static_argnames=("config", "L", "keep_paired_neighbors",
@@ -430,15 +471,19 @@ def _embed_windows_stacked_jit(config: GINConfig, params, state, feats, pts,
     n_per = L + (p_cap if p_cap is not None else (L if keep_paired_neighbors else 0))
     dense = _dense_forward_ok(config)
 
-    def build_one(si, st):
-        return _window_batch(feats, pts, si, st, L, keep_paired_neighbors,
-                             p_cap, b_cap, include_backbone=not dense)
-
     def chunk_fn(args):
         si, st = args  # [chunk]
-        wb = jax.vmap(build_one)(si, st)
         if dense:
-            return _forward_windows_dense(config, params, state, wb, chunk, n_per, L)
+            # aligned fused build+forward: no compaction scatters, no
+            # edge arrays (the build dominated the old path's time)
+            return _forward_windows_aligned(
+                config, params, state, feats, pts, si, st, L,
+                keep_paired_neighbors,
+            )
+        wb = jax.vmap(
+            lambda s_, t_: _window_batch(feats, pts, s_, t_, L,
+                                         keep_paired_neighbors, p_cap, b_cap)
+        )(si, st)
         gb = _flatten_window_chunk(wb, chunk, n_per)
         return forward_once(config, params, state, gb)[0]
 

@@ -455,7 +455,11 @@ def _run_consistency_tiled(post, N, rounds, lam, topk, pmin, Lmax):
             [jnp.asarray(x[s : s + step]) for s in range(0, x.shape[0], step)]
         )
 
-    Cv_d, Ci_d = upload_chunked(Cv), upload_chunked(Ci)
+    Cv_d = upload_chunked(Cv)
+    if Lmax < 32768:  # transfer indices at half width; cast on device
+        Ci_d = upload_chunked(Ci.astype(np.int16)).astype(jnp.int32)
+    else:
+        Ci_d = upload_chunked(Ci)
     M_d = jnp.asarray(M)
 
     # Bound the per-call program size: one huge lax.map over thousands of
@@ -523,7 +527,10 @@ def run_consistency_rounds(
                 post, N, rounds, lam, topk, pmin, Lmax
             )
             Cv = np.asarray(Cv)
-            Ci = np.asarray(Ci)
+            if Lmax < 32768:  # download at half width too
+                Ci = np.asarray(Ci.astype("int16")).astype(np.int32)
+            else:
+                Ci = np.asarray(Ci)
             out = {}
             for t, (a, b) in enumerate(pairs):
                 la, lb = int(lengths[a]), int(lengths[b])

@@ -36,6 +36,34 @@ class TestFastWindows:
         emb_host = engine.embed_graphs(graphs)
         np.testing.assert_allclose(emb_dev, emb_host, atol=1e-4, rtol=1e-4)
 
+    def test_max_programs_merge_matches(self, model):
+        """Bucket merging (--max-programs) must not change any embedding."""
+        from ginfinity_tpu.pipelines.fast_windows import embed_corpus_windows
+
+        structures = (
+            pd.read_csv(SAMPLE)["secondary_structure"].astype(str).head(12).tolist()
+        )
+        base = embed_corpus_windows(model, structures, 100, True)
+        merged = embed_corpus_windows(model, structures, 100, True, max_programs=1)
+        for (s0, e0), (s1, e1) in zip(base, merged):
+            np.testing.assert_array_equal(s0, s1)
+            np.testing.assert_allclose(e0, e1, atol=2e-4, rtol=1e-4)
+
+    def test_prewarm_compiles_ladder(self, model):
+        """ginfinity-prewarm's lowering path covers every group signature
+        without executing anything."""
+        from ginfinity_tpu.pipelines.prewarm import prewarm_window_ladder
+
+        structures = (
+            pd.read_csv(SAMPLE)["secondary_structure"].astype(str).head(12).tolist()
+        )
+        n = prewarm_window_ladder(model, structures, 100, True, quiet=True)
+        assert n >= 1
+        n1 = prewarm_window_ladder(
+            model, structures, 100, True, quiet=True, max_programs=1
+        )
+        assert n1 == 1
+
     def test_short_structure_no_windows(self, model):
         from ginfinity_tpu.pipelines.fast_windows import embed_structure_windows
 
