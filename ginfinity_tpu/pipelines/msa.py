@@ -328,29 +328,29 @@ _MAX_PAIRS_PER_CALL = 2048  # per-device-call bound (multiple of _TILE_TP)
 def _pack_sparse_posteriors(post: dict, N: int, Lmax: int, k: int,
                             TC: int, TP: int):
     """Compact slot form: the device never holds an [N, N, ...] posterior
-    tensor — only one row-top-k slab per pair DIRECTION (slot 2t =
-    pairs[t] forward, 2t+1 = reverse) plus an [Np, Np] int32 slot map
-    (-1 = pair absent; the -1 diagonal also excludes C in {a, b}).
+    tensor — only one FORWARD row-top-k slab per pair plus a SIGNED
+    [Np, Np] int32 slot map: M[a, b] = t+1 and M[b, a] = -(t+1) for
+    pairs[t] = (a, b); 0 = absent (the zero diagonal also excludes C in
+    {a, b}).  Reverse reads densify the same slab TRANSPOSED — an exact
+    transpose (the previous column-top-k reverse slabs could drop ties),
+    and it halves slab memory, transfers, and re-sparsify work.
 
-    Returns (pairs, Cv [2P, Lmax, k] f32, Ci [2P, Lmax, k] i32, M)."""
+    Returns (pairs, Cv [P, Lmax, k] f32, Ci [P, Lmax, k] i32, M)."""
     Np = -(-N // TC) * TC
     pairs = sorted(post.keys())
     P_pad = -(-max(len(pairs), 1) // TP) * TP
-    Cv = np.zeros((2 * P_pad, Lmax, k), np.float32)
-    Ci = np.zeros((2 * P_pad, Lmax, k), np.int32)
-    M = np.full((Np, Np), -1, np.int32)
+    Cv = np.zeros((P_pad, Lmax, k), np.float32)
+    Ci = np.zeros((P_pad, Lmax, k), np.int32)
+    M = np.zeros((Np, Np), np.int32)
     for t, (a, b) in enumerate(pairs):
         Pm = post[(a, b)]
-        for slot, (x, y), Mx in (
-            (2 * t, (a, b), Pm),
-            (2 * t + 1, (b, a), Pm.T),
-        ):
-            rows, cols = Mx.shape
-            kk = min(k, cols)
-            idx = np.argpartition(-Mx, kk - 1, axis=1)[:, :kk]
-            Cv[slot, :rows, :kk] = np.take_along_axis(Mx, idx, axis=1)
-            Ci[slot, :rows, :kk] = idx
-            M[x, y] = slot
+        rows, cols = Pm.shape
+        kk = min(k, cols)
+        idx = np.argpartition(-Pm, kk - 1, axis=1)[:, :kk]
+        Cv[t, :rows, :kk] = np.take_along_axis(Pm, idx, axis=1)
+        Ci[t, :rows, :kk] = idx
+        M[a, b] = t + 1
+        M[b, a] = -(t + 1)
     return pairs, Cv, Ci, M
 
 
@@ -360,30 +360,36 @@ def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int):
 
     f32 = jnp.float32
     row_ids = jnp.arange(Lmax)
-
-    def densify(v, i):  # [L, k] -> [L, L] (duplicate/padding idx add 0s)
-        return jnp.zeros((Lmax, Lmax), f32).at[row_ids[:, None], i].add(v)
-
-    densify_b = jax.vmap(densify)
+    rows_bk = None  # built lazily inside the jit
 
     def round_fn(Cv, Ci, M, pa, pb, pvalid, lam, pmin):
         Np = M.shape[0]
         c0s = jnp.arange(0, Np, TC)
+        rows = jnp.broadcast_to(row_ids[:, None], (Lmax, k))
 
-        def slab(slots):  # [T] slot ids (clamped; callers mask absent)
-            s = jnp.maximum(slots, 0)
-            return densify_b(Cv[s], Ci[s])
+        def densify_dir(slot):
+            # signed slot: +t -> slab t-1 as-is; -t -> its EXACT
+            # transpose (transposed scatter); 0 -> zero block
+            sidx = jnp.maximum(jnp.abs(slot) - 1, 0)
+            v = Cv[sidx] * (slot != 0).astype(f32)
+            i = Ci[sidx]
+            fwd = slot > 0
+            r_idx = jnp.where(fwd, rows, i)
+            c_idx = jnp.where(fwd, i, rows)
+            return jnp.zeros((Lmax, Lmax), f32).at[r_idx, c_idx].add(v)
+
+        slab_b = jax.vmap(densify_dir)
 
         def one_pair(a, b, valid):
-            Pab = slab(M[a, b][None])[0]
+            Pab = densify_dir(M[a, b])
 
             def cstep(carry, c0):
                 acc, cnt = carry
                 cs = c0 + jnp.arange(TC)
                 sac, scb = M[a, cs], M[cs, b]
-                m = ((sac >= 0) & (scb >= 0)).astype(f32)
-                A = slab(sac) * m[:, None, None]
-                B = slab(scb)
+                m = ((sac != 0) & (scb != 0)).astype(f32)
+                A = slab_b(sac) * m[:, None, None]
+                B = slab_b(scb)
                 acc = acc + jnp.einsum(
                     "cik,ckj->ij", A, B,
                     precision=jax.lax.Precision.HIGHEST,
@@ -400,8 +406,7 @@ def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int):
             keep = (newP >= row_kth) & (newP >= col_kth.T) & (newP >= pmin)
             masked = jnp.where(keep, newP, 0.0) * valid
             vab, iab = jax.lax.top_k(masked, k)
-            vba, iba = jax.lax.top_k(masked.T, k)
-            return vab, iab.astype(jnp.int32), vba, iba.astype(jnp.int32)
+            return vab, iab.astype(jnp.int32)
 
         one_pair_v = jax.vmap(one_pair)
 
@@ -411,55 +416,33 @@ def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int):
 
         # lax.map: stacked outputs, no multi-GB carry to copy per step
         n_pairs = pa.shape[0]
-        vab, iab, vba, iba = jax.lax.map(
-            tile_compute, jnp.arange(0, n_pairs, TP)
+        vab, iab = jax.lax.map(tile_compute, jnp.arange(0, n_pairs, TP))
+        # padding pairs (valid = 0) produce all-zero slots — harmless
+        return (
+            vab.reshape(n_pairs, Lmax, k),
+            iab.reshape(n_pairs, Lmax, k),
         )
-        # interleave forward/reverse back into slot order [2P, L, k];
-        # padding pairs (valid = 0) write all-zero slots — harmless
-        nCv = jnp.stack(
-            [vab.reshape(n_pairs, Lmax, k), vba.reshape(n_pairs, Lmax, k)],
-            axis=1,
-        ).reshape(2 * n_pairs, Lmax, k)
-        nCi = jnp.stack(
-            [iab.reshape(n_pairs, Lmax, k), iba.reshape(n_pairs, Lmax, k)],
-            axis=1,
-        ).reshape(2 * n_pairs, Lmax, k)
-        return nCv, nCi
 
     return jax.jit(round_fn)
 
 
-def _run_consistency_tiled(post, N, rounds, lam, topk, pmin, Lmax):
-    """Run all rounds on the compact sparse device representation;
-    returns (pairs, Cv_dev [2P, Lmax, k], Ci_dev)."""
+def _consistency_rounds_on_slabs(Cv_d, Ci_d, pairs, N, rounds, lam, pmin,
+                                 Lmax, k):
+    """Core round loop over device-resident forward slabs [P_pad, Lmax, k]."""
     import jax.numpy as jnp
 
-    k = min(int(topk), Lmax)
     TC, TP = _TILE_TC, _TILE_TP
-    pairs, Cv, Ci, M = _pack_sparse_posteriors(post, N, Lmax, k, TC, TP)
-    n_pairs = Cv.shape[0] // 2
+    Np = -(-N // TC) * TC
+    n_pairs = Cv_d.shape[0]
+    M = np.zeros((Np, Np), np.int32)
     pa = np.zeros(n_pairs, np.int32)
     pb = np.zeros(n_pairs, np.int32)
     pvalid = np.zeros(n_pairs, np.float32)
     for t, (a, b) in enumerate(pairs):
+        M[a, b] = t + 1
+        M[b, a] = -(t + 1)
         pa[t], pb[t], pvalid[t] = a, b, 1.0
     round_fn = _tiled_consistency_round_fn(Lmax, k, TC, TP)
-
-    def upload_chunked(x, budget=96 << 20):
-        # remote-TPU transports cap single-transfer sizes; slice big
-        # uploads along the slot axis and concatenate on device
-        if x.nbytes <= budget:
-            return jnp.asarray(x)
-        step = max(1, budget // max(1, x[0].nbytes))
-        return jnp.concatenate(
-            [jnp.asarray(x[s : s + step]) for s in range(0, x.shape[0], step)]
-        )
-
-    Cv_d = upload_chunked(Cv)
-    if Lmax < 32768:  # transfer indices at half width; cast on device
-        Ci_d = upload_chunked(Ci.astype(np.int16)).astype(jnp.int32)
-    else:
-        Ci_d = upload_chunked(Ci)
     M_d = jnp.asarray(M)
 
     # Bound the per-call program size: one huge lax.map over thousands of
@@ -491,15 +474,85 @@ def _run_consistency_tiled(post, N, rounds, lam, topk, pmin, Lmax):
         if len(outs) == 1:
             Cv_d, Ci_d = outs[0]
         else:
-            Cv_d = jnp.concatenate([o[0] for o in outs])[: 2 * n_pairs]
-            Ci_d = jnp.concatenate([o[1] for o in outs])[: 2 * n_pairs]
+            Cv_d = jnp.concatenate([o[0] for o in outs])[:n_pairs]
+            Ci_d = jnp.concatenate([o[1] for o in outs])[:n_pairs]
+    return Cv_d, Ci_d
+
+
+def _run_consistency_tiled(post, N, rounds, lam, topk, pmin, Lmax):
+    """Run all rounds on the compact sparse device representation;
+    returns (pairs, Cv_dev [P, Lmax, k] forward slabs, Ci_dev)."""
+    import jax.numpy as jnp
+
+    k = min(int(topk), Lmax)
+    TC, TP = _TILE_TC, _TILE_TP
+    pairs, Cv, Ci, M = _pack_sparse_posteriors(post, N, Lmax, k, TC, TP)
+
+    def upload_chunked(x, budget=96 << 20):
+        # remote-TPU transports cap single-transfer sizes; slice big
+        # uploads along the slot axis and concatenate on device
+        if x.nbytes <= budget:
+            return jnp.asarray(x)
+        step = max(1, budget // max(1, x[0].nbytes))
+        return jnp.concatenate(
+            [jnp.asarray(x[s : s + step]) for s in range(0, x.shape[0], step)]
+        )
+
+    Cv_d = upload_chunked(Cv)
+    if Lmax < 32768:  # transfer indices at half width; cast on device
+        Ci_d = upload_chunked(Ci.astype(np.int16)).astype(jnp.int32)
+    else:
+        Ci_d = upload_chunked(Ci)
+    Cv_d, Ci_d = _consistency_rounds_on_slabs(
+        Cv_d, Ci_d, pairs, N, rounds, lam, pmin, Lmax, k
+    )
     return pairs, Cv_d, Ci_d
 
 
+def consistency_rounds_to_distances_from_slabs(
+    kv_list, ki_list, pair_chunks, N, Lmax, k, rounds,
+    lam: float = 0.5, pmin: float = 1e-4,
+) -> np.ndarray:
+    """Fully device-resident consistency + distances: consumes the
+    pairwise stage's per-batch row-top-k slab arrays DIRECTLY (no
+    posterior download and no re-upload — at max-pairs=2000, L=300 the
+    old dict round-trip moved ~1.7 GB over the host link).
+
+    kv_list/ki_list: per-batch device arrays [bs, Lmax, k] (forward
+    slabs, batch-padded rows beyond len(chunk) ignored); pair_chunks:
+    the (a, b) lists matching each batch."""
+    import jax.numpy as jnp
+
+    pairs = [pr for chunk in pair_chunks for pr in chunk]
+    P = len(pairs)
+    if P == 0:
+        return np.zeros((N, N), np.float32)
+    TP = _TILE_TP
+    P_pad = -(-P // TP) * TP
+    kv_parts = [kv[: len(chunk)] for kv, chunk in zip(kv_list, pair_chunks)]
+    ki_parts = [ki[: len(chunk)] for ki, chunk in zip(ki_list, pair_chunks)]
+    if P_pad > P:
+        kv_parts.append(jnp.zeros((P_pad - P, Lmax, k), jnp.float32))
+        ki_parts.append(jnp.zeros((P_pad - P, Lmax, k), jnp.int32))
+    Cv_d = jnp.concatenate(kv_parts)
+    Ci_d = jnp.concatenate([p.astype(jnp.int32) for p in ki_parts])
+    if rounds > 0:
+        Cv_d, _ = _consistency_rounds_on_slabs(
+            Cv_d, Ci_d, pairs, N, rounds, lam, pmin, Lmax, k
+        )
+    sums = np.asarray(Cv_d.sum(axis=(-1, -2)))
+    cnts = np.asarray((Cv_d > 0).sum(axis=(-1, -2)))
+    D = np.zeros((N, N), np.float32)
+    for t, (a, b) in enumerate(pairs):
+        d = 1.0 - sums[t] / cnts[t] if cnts[t] > 0 else 1.0
+        D[a, b] = D[b, a] = min(1.0, max(0.0, float(d)))
+    return D
+
+
 def _sparse_bytes(n_pairs: int, Lmax: int, topk: int) -> int:
-    # per pair: 2 slots x (f32 values + i32 indices), old + new copies
+    # per pair: one forward slab (f32 values + i32 idx), old + new copies
     k = min(int(topk), Lmax)
-    return 2 * n_pairs * Lmax * k * 8 * 2
+    return n_pairs * Lmax * k * 8 * 2
 
 
 def run_consistency_rounds(
@@ -536,8 +589,8 @@ def run_consistency_rounds(
                 la, lb = int(lengths[a]), int(lengths[b])
                 P = np.zeros((la, lb), np.float32)
                 rows = np.repeat(np.arange(la), Cv.shape[-1])
-                cols = Ci[2 * t, :la].ravel()
-                vals = Cv[2 * t, :la].ravel()
+                cols = Ci[t, :la].ravel()
+                vals = Cv[t, :la].ravel()
                 nz = vals > 0
                 P[rows[nz], cols[nz]] = vals[nz]
                 out[(a, b)] = P
@@ -595,16 +648,12 @@ def consistency_rounds_to_distances(
             pairs, Cv, _ = _run_consistency_tiled(
                 post, N, rounds, lam, topk, pmin, Lmax
             )
-            # only [2P] per-slot reductions come back over the link
+            # only [P] per-slot reductions come back over the link
             sums = np.asarray(Cv.sum(axis=(-1, -2)))
             cnts = np.asarray((Cv > 0).sum(axis=(-1, -2)))
             D = np.zeros((N, N), np.float32)
             for t, (a, b) in enumerate(pairs):
-                d = (
-                    1.0 - sums[2 * t] / cnts[2 * t]
-                    if cnts[2 * t] > 0
-                    else 1.0
-                )
+                d = 1.0 - sums[t] / cnts[t] if cnts[t] > 0 else 1.0
                 D[a, b] = D[b, a] = min(1.0, max(0.0, float(d)))
             return D
         out = post
@@ -1177,10 +1226,21 @@ def main(argv=None):
     if args.alpha is None or args.beta is None:
         print("[WARN] alpha/beta not fully provided; falling back to default alpha=5.0, beta=0.0")
 
+    stage_times: dict[str, float] = {}
+
+    def stage_done(name, t0):
+        stage_times[name] = round(time.time() - t0, 2)
+        print(f"[{name}] {stage_times[name]}s")
+        return time.time()
+
+    t_stage = time.time()
     pairs = pairwise_pairs_to_compute(records, args.max_pairs)
     print(f"Computing pairwise posteriors for {len(pairs)} pairs...")
 
     post: dict[tuple[int, int], np.ndarray] = {}
+    slab_kv: list = []   # device [bs, Lcap, k] row-top-k posterior slabs
+    slab_ki: list = []
+    pair_chunks: list[list[tuple[int, int]]] = []
     expected_scores = np.zeros((N, N), np.float32)
     heatmaps: list[tuple[tuple[int, int], np.ndarray]] = []
     # Embedding-resident pairwise stage: embeddings upload once, scores
@@ -1237,34 +1297,58 @@ def main(argv=None):
                 jnp.float32(args.gap_open), jnp.float32(args.gap_extend),
                 jnp.float32(1e-4), args.use_local, k, **base_kw,
             )
-            kv = np.asarray(kv)
-            ki = np.asarray(ki)
+            # posteriors STAY on device as row-top-k slabs — the
+            # consistency transform consumes them directly (the old dict
+            # round-trip moved ~1.7 GB over the host link at scale)
+            slab_kv.append(kv)
+            slab_ki.append(ki)
+            pair_chunks.append(chunk)
             ex = np.asarray(ex)
             for t, (a, b) in enumerate(chunk):
-                la, lb = int(lens[a]), int(lens[b])
+                expected_scores[a, b] = expected_scores[b, a] = float(ex[t])
+
+    def materialize_post():
+        """Download slabs into the dense per-pair dict (only needed for
+        heatmap diagnostics and the no-consistency path)."""
+        if post or not pairs:
+            return post
+        for kv_d, ki_d, chunk in zip(slab_kv, slab_ki, pair_chunks):
+            kv = np.asarray(kv_d)
+            ki = np.asarray(ki_d)
+            for t, (a, b) in enumerate(chunk):
+                la, lb = int(records[a].emb.shape[0]), int(records[b].emb.shape[0])
                 Pk = np.zeros((la, lb), np.float32)
-                rows_i = np.repeat(np.arange(la), k)
+                rows_i = np.repeat(np.arange(la), kv.shape[-1])
                 vals = kv[t, :la].ravel()
                 cols = ki[t, :la].ravel()
                 nz = vals > 0
                 Pk[rows_i[nz], cols[nz]] = vals[nz]
                 post[(a, b)] = Pk
-                expected_scores[a, b] = expected_scores[b, a] = float(ex[t])
-                if args.plot_diagnostics and len(heatmaps) < 6:
-                    heatmaps.append(((a, b), Pk))
+        return post
 
-    if N >= 3 and args.consistency_rounds > 0:
+    if args.plot_diagnostics and pairs:
+        mp = materialize_post()
+        for (a, b) in pairs[:6]:
+            heatmaps.append(((a, b), mp[(a, b)]))
+
+    t_stage = stage_done("posteriors", t_stage)
+    if N >= 3 and args.consistency_rounds > 0 and pairs:
         print(f"Running {args.consistency_rounds} consistency round(s)...")
-        D = consistency_rounds_to_distances(
-            post, N, args.consistency_rounds, lam=0.5, topk=args.topk, pmin=1e-4
+        Lcap_used = slab_kv[0].shape[1]
+        D = consistency_rounds_to_distances_from_slabs(
+            slab_kv, slab_ki, pair_chunks, N, Lcap_used, slab_kv[0].shape[2],
+            args.consistency_rounds, lam=0.5, pmin=1e-4,
         )
     else:
-        D = build_distance_matrix(post, N)
+        D = build_distance_matrix(materialize_post(), N)
+    t_stage = stage_done("consistency+distances", t_stage)
     tree = build_guide_tree(D, method=args.tree)
+    t_stage = stage_done("guide_tree", t_stage)
 
     profiles = initial_profiles(records)
     aln = msa_from_tree(tree, profiles, args.gap_open, args.gap_extend,
                         seq_weight=float(args.seq_weight))
+    t_stage = stage_done("progressive_alignment", t_stage)
     refine_stats = None
     if args.refine_iters > 0 and N >= 3:
         print(f"Refining for {args.refine_iters} iteration(s)...")
@@ -1291,6 +1375,7 @@ def main(argv=None):
         "seed": args.seed,
         "max_pairs": args.max_pairs,
         "timing_sec": time.time() - t_start,
+        "stage_times_sec": stage_times,
     }
     if args.plot_diagnostics and heatmaps:
         diagnostics["posteriors_heatmaps"] = heatmaps
