@@ -320,7 +320,8 @@ def _flatten_window_chunk(wb: GraphBatch, chunk: int, n_per: int) -> GraphBatch:
 
 def _forward_windows_aligned(config: GINConfig, params, state, feats_all,
                              pts_all, si, st, L: int,
-                             keep_paired_neighbors: bool = True):
+                             keep_paired_neighbors: bool = True,
+                             views=None):
     """Fused build + GINE forward for a chunk of windows in the ALIGNED
     layout: slot i < L holds window position start+i; slot L+i holds the
     pulled outside partner of position i (masked when absent).
@@ -348,8 +349,18 @@ def _forward_windows_aligned(config: GINConfig, params, state, feats_all,
     H = config.hidden_dims[0]
 
     idx = st[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]   # [C, L]
-    partner = pts_all[si[:, None], idx]                           # [C, L]
-    fw = feats_all[si[:, None], idx]                              # [C, L, F]
+    if views is not None:
+        # sliding-window views (built once per program by the caller):
+        # one CONTIGUOUS [L(, F)] row per window instead of C*L scalar
+        # element gathers from the structure slabs
+        fview, pview = views
+        ns_cap = feats_all.shape[1] - L + 1
+        flat = si * ns_cap + st
+        fw = fview[flat]                                          # [C, L, F]
+        partner = pview[flat]                                     # [C, L]
+    else:
+        partner = pts_all[si[:, None], idx]                       # [C, L]
+        fw = feats_all[si[:, None], idx]                          # [C, L, F]
     pfeat = feats_all[si[:, None], jnp.clip(partner, 0)]          # [C, L, F]
     has = partner >= 0
     adj = jnp.abs(partner - idx) == 1    # reference adjacent-pair quirk
@@ -471,6 +482,18 @@ def _embed_windows_stacked_jit(config: GINConfig, params, state, feats, pts,
     n_per = L + (p_cap if p_cap is not None else (L if keep_paired_neighbors else 0))
     dense = _dense_forward_ok(config)
 
+    views = None
+    if dense:
+        ns_cap = feats.shape[1] - L + 1
+        views = (
+            jnp.stack(
+                [feats[:, i : i + ns_cap, :] for i in range(L)], axis=2
+            ).reshape(-1, L, feats.shape[2]),
+            jnp.stack(
+                [pts[:, i : i + ns_cap] for i in range(L)], axis=2
+            ).reshape(-1, L),
+        )
+
     def chunk_fn(args):
         si, st = args  # [chunk]
         if dense:
@@ -478,7 +501,7 @@ def _embed_windows_stacked_jit(config: GINConfig, params, state, feats, pts,
             # edge arrays (the build dominated the old path's time)
             return _forward_windows_aligned(
                 config, params, state, feats, pts, si, st, L,
-                keep_paired_neighbors,
+                keep_paired_neighbors, views,
             )
         wb = jax.vmap(
             lambda s_, t_: _window_batch(feats, pts, s_, t_, L,

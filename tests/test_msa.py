@@ -181,6 +181,39 @@ class TestConsistency:
         for key in want:
             np.testing.assert_allclose(got[key], want[key], atol=1e-6)
 
+    def test_from_slabs_equals_dict_path(self):
+        """The device-resident entry (pairwise slabs -> consistency ->
+        distances, no dict round-trip) must equal the dict-based path."""
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.pipelines.msa import (
+            _pack_sparse_posteriors,
+            _sparse_bytes,
+            consistency_rounds_to_distances,
+            consistency_rounds_to_distances_from_slabs,
+        )
+
+        rng = np.random.default_rng(12)
+        lengths = [15, 18, 13, 20, 16, 19]
+        N, Lmax = len(lengths), max(lengths)
+        post = _random_sparse_posteriors(rng, lengths, topk=4)
+        budget = _sparse_bytes(len(post), Lmax, 4)
+        D_want = consistency_rounds_to_distances(
+            post, N, 2, 0.5, 4, 1e-4, hbm_budget_bytes=budget
+        )
+        pairs, Cv, Ci, _ = _pack_sparse_posteriors(post, N, Lmax, 4, 8, 8)
+        # emulate the pairwise stage's per-batch slab layout (batches of 4)
+        kv_list, ki_list, chunks = [], [], []
+        for s in range(0, len(pairs), 4):
+            chunk = pairs[s : s + 4]
+            kv_list.append(jnp.asarray(Cv[s : s + len(chunk)]))
+            ki_list.append(jnp.asarray(Ci[s : s + len(chunk)]))
+            chunks.append(chunk)
+        D_got = consistency_rounds_to_distances_from_slabs(
+            kv_list, ki_list, chunks, N, Lmax, 4, 2, lam=0.5, pmin=1e-4
+        )
+        np.testing.assert_allclose(D_got, D_want, atol=1e-6)
+
     def test_tiled_distances_equal_host(self):
         from ginfinity_tpu.pipelines.msa import (
             _sparse_bytes,
