@@ -415,6 +415,71 @@ def _profile_dense(S, l1, l2, go, ge):
     return un(Ms), un(Xs), un(Ys)
 
 
+@jax.jit
+def _profile_ops(S, l1, l2, go, ge):
+    """Dense profile DP + the reference's VALUE-BASED traceback, both on
+    device (embed_msa.py:1042-1054 selection semantics, including the
+    M-then-X-then-Y strict-greater priority).  Returns op codes in
+    traceback (reverse) order: 0 match, 1 gap-in-B, 2 gap-in-A,
+    3 padding."""
+    M, X, Y = _profile_dense(S, l1, l2, go, ge)
+    n_steps = (M.shape[1] - 1) + (M.shape[2] - 1)
+
+    def one(Mk, Xk, Yk, a, b):
+        def step(carry, _):
+            i, j, done = carry
+            neg = jnp.float32(-1e30)
+            cm = jnp.where((i > 0) & (j > 0), Mk[i, j], neg)
+            state = jnp.int32(0)
+            best = cm
+            cx = jnp.where(i > 0, Xk[i, j], neg)
+            state = jnp.where(cx > best, 1, state)
+            best = jnp.maximum(best, cx)
+            cy = jnp.where(j > 0, Yk[i, j], neg)
+            state = jnp.where(cy > best, 2, state)
+            active = (done == 0) & ((i > 0) | (j > 0))
+            di = jnp.where(active & (state != 2), 1, 0)
+            dj = jnp.where(active & (state != 1), 1, 0)
+            op = jnp.where(active, state, 3).astype(jnp.int8)
+            i2, j2 = i - di, j - dj
+            done2 = jnp.where((i2 == 0) & (j2 == 0), jnp.int32(1), done)
+            return (i2, j2, done2), op
+
+        _, ops = jax.lax.scan(
+            step, (a, b, jnp.int32(0)), None, length=n_steps
+        )
+        return ops
+
+    return jax.vmap(one)(M, X, Y, l1, l2)
+
+
+def profile_align_batch_ops(S_list: list[np.ndarray], gap_open: float,
+                            gap_extend: float) -> list[np.ndarray]:
+    """Batched profile DP returning per-pair traceback op sequences
+    (0 match, 1 gap-in-B, 2 gap-in-A, forward order) computed ON DEVICE
+    — only [B, L1+L2] int8 codes come over the link instead of three
+    dense DP tensors (~110 MB per progressive-alignment round at family
+    scale)."""
+    from ginfinity_tpu.graphs.batching import _round_capacity
+
+    B = len(S_list)
+    P1 = _round_capacity(max(s.shape[0] for s in S_list))
+    P2 = _round_capacity(max(s.shape[1] for s in S_list))
+    Sp = np.full((B, P1, P2), -1e4, np.float32)
+    l1 = np.zeros(B, np.int32)
+    l2 = np.zeros(B, np.int32)
+    for k, sm in enumerate(S_list):
+        Sp[k, : sm.shape[0], : sm.shape[1]] = sm
+        l1[k], l2[k] = sm.shape
+    ops = np.asarray(
+        _profile_ops(
+            jnp.asarray(Sp), jnp.asarray(l1), jnp.asarray(l2),
+            jnp.float32(gap_open), jnp.float32(gap_extend),
+        )
+    )
+    return [ops[k][ops[k] != 3][::-1].copy() for k in range(B)]
+
+
 def profile_align_batch(S_list: list[np.ndarray], gap_open: float,
                         gap_extend: float):
     """Batched profile DP: pads every score matrix to the ladder-rounded

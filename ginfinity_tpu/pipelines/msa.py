@@ -759,13 +759,19 @@ def build_guide_tree(D: np.ndarray, method: str = "nj"):
 # ==========================================================================
 
 
+_GAP = np.uint8(ord("-"))
+
+
 @dataclass
 class Profile:
     mu_struct: np.ndarray  # (L, Ds), L2-normalized rows
     mu_base: Optional[np.ndarray]  # (L, Db) or None
     stem: np.ndarray  # (L,)
     member_indices: list[int]
-    aligned_chars: dict[int, list[str]] = field(default_factory=dict)
+    # per member: uint8 char codes per alignment column ('-' = gap);
+    # kept as arrays so merges/extractions vectorize (the per-column
+    # python loops dominated progressive-alignment host time at N=200)
+    aligned_chars: dict[int, np.ndarray] = field(default_factory=dict)
 
 
 def initial_profiles(records: list[SequenceRecord]) -> list[Profile]:
@@ -774,11 +780,13 @@ def initial_profiles(records: list[SequenceRecord]) -> list[Profile]:
     for idx, r in enumerate(records):
         L = r.emb.shape[0]
         if isinstance(r.dotbracket, str) and len(r.dotbracket) == L:
-            chars = list(r.dotbracket)
+            chars = np.frombuffer(r.dotbracket.encode("latin-1"), np.uint8).copy()
         elif isinstance(r.paired_idx, list) and len(r.paired_idx) == L:
-            chars = list(_pairs_to_dotbracket(r.paired_idx))
+            chars = np.frombuffer(
+                _pairs_to_dotbracket(r.paired_idx).encode("latin-1"), np.uint8
+            ).copy()
         else:
-            chars = ["X"] * L
+            chars = np.full(L, ord("X"), np.uint8)
         stem = np.array(
             [1.0 if (r.paired_idx and r.paired_idx[k] != -1) else 0.0 for k in range(L)],
             np.float32,
@@ -805,17 +813,19 @@ def _profile_score_matrix(A: Profile, B: Profile, seq_weight: float) -> np.ndarr
 
 
 def merge_profiles(A: Profile, B: Profile, gap_open, gap_extend, seq_weight=0.0) -> Profile:
-    from ginfinity_tpu.ops.pairhmm import profile_align
+    from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops
 
-    M, X, Y = profile_align(
-        _profile_score_matrix(A, B, seq_weight), gap_open, gap_extend
-    )
-    return _merge_from_dp(A, B, M, X, Y)
+    ops = profile_align_batch_ops(
+        [_profile_score_matrix(A, B, seq_weight)], gap_open, gap_extend
+    )[0]
+    return _merge_from_ops(A, B, ops)
 
 
 def _merge_from_dp(A: Profile, B: Profile, M, X, Y) -> Profile:
     La, Lb = A.mu_struct.shape[0], B.mu_struct.shape[0]
-    # reference value-based traceback (embed_msa.py:1042-1054)
+    # reference value-based traceback (embed_msa.py:1042-1054); the hot
+    # path computes these ops ON DEVICE (pairhmm._profile_ops) — this
+    # host version is the oracle it is tested against
     i, j = La, Lb
     ops = []  # 0 match, 1 gap-in-B, 2 gap-in-A
     while i > 0 or j > 0:
@@ -835,59 +845,49 @@ def _merge_from_dp(A: Profile, B: Profile, M, X, Y) -> Profile:
         else:
             j -= 1
     ops.reverse()
+    return _merge_from_ops(A, B, ops)
 
-    # build merged columns
-    n_cols = len(ops)
-    ds = A.mu_struct.shape[1]
+
+def _merge_from_ops(A: Profile, B: Profile, ops) -> Profile:
+    # build merged columns (vectorized: per-column python loops over
+    # members x columns dominated host time at family scale)
+    op = np.asarray(ops, np.int8)  # 0 match, 1 gap-in-B, 2 gap-in-A
     base_dim = 0
     if A.mu_base is not None:
         base_dim = A.mu_base.shape[1]
     elif B.mu_base is not None:
         base_dim = B.mu_base.shape[1]
-    mu_s = np.zeros((n_cols, ds), np.float32)
-    mu_b = np.zeros((n_cols, base_dim), np.float32) if base_dim else None
-    stem = np.zeros(n_cols, np.float32)
+    takes_a = op != 2
+    takes_b = op != 1
+    match = op == 0
+    ia_c = np.where(takes_a, np.cumsum(takes_a) - 1, 0)
+    jb_c = np.where(takes_b, np.cumsum(takes_b) - 1, 0)
+    ta = takes_a[:, None].astype(np.float32)
+    tb = takes_b[:, None].astype(np.float32)
+
+    summed = A.mu_struct[ia_c] * ta + B.mu_struct[jb_c] * tb
+    normed = summed / (np.linalg.norm(summed, axis=1, keepdims=True) + 1e-8)
+    mu_s = np.where(match[:, None], normed, summed).astype(np.float32)
+    mu_b = None
+    if base_dim:
+        sb = np.zeros((op.size, base_dim), np.float32)
+        if A.mu_base is not None:
+            sb += A.mu_base[ia_c] * ta
+        if B.mu_base is not None:
+            sb += B.mu_base[jb_c] * tb
+        nb = sb / (np.linalg.norm(sb, axis=1, keepdims=True) + 1e-8)
+        mu_b = np.where(match[:, None], nb, sb).astype(np.float32)
+    stem = (
+        (A.stem[ia_c] * takes_a + B.stem[jb_c] * takes_b)
+        / np.maximum(takes_a.astype(np.float32) + takes_b, 1.0)
+    ).astype(np.float32)
+
     members = A.member_indices + B.member_indices
-    aligned = {idx: [] for idx in members}
-    ia = jb = 0
-    for k, op in enumerate(ops):
-        if op == 0:
-            v = A.mu_struct[ia] + B.mu_struct[jb]
-            mu_s[k] = v / (np.linalg.norm(v) + 1e-8)
-            if base_dim:
-                vb = np.zeros(base_dim, np.float32)
-                if A.mu_base is not None:
-                    vb += A.mu_base[ia]
-                if B.mu_base is not None:
-                    vb += B.mu_base[jb]
-                mu_b[k] = vb / (np.linalg.norm(vb) + 1e-8)
-            stem[k] = (A.stem[ia] + B.stem[jb]) / 2.0
-            for idx in A.member_indices:
-                aligned[idx].append(A.aligned_chars[idx][ia])
-            for idx in B.member_indices:
-                aligned[idx].append(B.aligned_chars[idx][jb])
-            ia += 1
-            jb += 1
-        elif op == 1:
-            mu_s[k] = A.mu_struct[ia]
-            if base_dim and A.mu_base is not None:
-                mu_b[k] = A.mu_base[ia]
-            stem[k] = A.stem[ia]
-            for idx in A.member_indices:
-                aligned[idx].append(A.aligned_chars[idx][ia])
-            for idx in B.member_indices:
-                aligned[idx].append("-")
-            ia += 1
-        else:
-            mu_s[k] = B.mu_struct[jb]
-            if base_dim and B.mu_base is not None:
-                mu_b[k] = B.mu_base[jb]
-            stem[k] = B.stem[jb]
-            for idx in A.member_indices:
-                aligned[idx].append("-")
-            for idx in B.member_indices:
-                aligned[idx].append(B.aligned_chars[idx][jb])
-            jb += 1
+    aligned = {}
+    for idx in A.member_indices:
+        aligned[idx] = np.where(takes_a, A.aligned_chars[idx][ia_c], _GAP)
+    for idx in B.member_indices:
+        aligned[idx] = np.where(takes_b, B.aligned_chars[idx][jb_c], _GAP)
     return Profile(mu_s, mu_b, stem, members, aligned)
 
 
@@ -896,7 +896,7 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0) -> P
     whose children are ready into one device DP program (the tree depth,
     not the merge count, sets the number of sequential device round
     trips — a 50-leaf balanced tree runs ~6 rounds instead of 49)."""
-    from ginfinity_tpu.ops.pairhmm import profile_align_batch
+    from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops
 
     if isinstance(tree, int):
         return seq_profiles[tree]
@@ -924,9 +924,9 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0) -> P
         remaining = [n for n in remaining if get(n[0]) is None or get(n[1]) is None]
         pairs = [(get(n[0]), get(n[1])) for n in ready]
         mats = [_profile_score_matrix(a, b, seq_weight) for a, b in pairs]
-        dps = profile_align_batch(mats, gap_open, gap_extend)
-        for n, (a, b), (M, X, Y) in zip(ready, pairs, dps):
-            resolved[id(n)] = _merge_from_dp(a, b, M, X, Y)
+        all_ops = profile_align_batch_ops(mats, gap_open, gap_extend)
+        for n, (a, b), ops in zip(ready, pairs, all_ops):
+            resolved[id(n)] = _merge_from_ops(a, b, ops)
     return resolved[id(tree)]
 
 
@@ -949,12 +949,9 @@ def _column_positions(profile: Profile) -> tuple[np.ndarray, np.ndarray]:
     n_cols = len(profile.stem)
     pos = np.full((members.size, n_cols), -1, np.int64)
     for r, idx in enumerate(profile.member_indices):
-        chars = profile.aligned_chars[idx]
-        p = 0
-        for c in range(min(n_cols, len(chars))):
-            if chars[c] != "-":
-                pos[r, c] = p
-                p += 1
+        chars = np.asarray(profile.aligned_chars[idx])[:n_cols]
+        present = chars != _GAP
+        pos[r, : chars.size][present] = np.cumsum(present)[present] - 1
     return members, pos
 
 
@@ -1018,12 +1015,12 @@ def extract_subprofile(profile: Profile, members: list[int],
             mu_b[pres] += spf.mu_base[p]
         stem_acc[pres] += spf.stem[p]
         cnt[pres] += 1.0
-        chars = []
-        src = profile.aligned_chars[m]
-        for c_idx, kept in enumerate(keep):
-            if kept:
-                chars.append(src[c_idx] if c_idx < len(src) else "-")
-        aligned[m] = chars
+        src = np.asarray(profile.aligned_chars[m])
+        if src.size < keep.size:
+            src = np.concatenate(
+                [src, np.full(keep.size - src.size, _GAP, np.uint8)]
+            )
+        aligned[m] = src[: keep.size][keep]
     mu_s = mu_s / np.maximum(np.linalg.norm(mu_s, axis=1, keepdims=True), 1e-8)
     if mu_b is not None:
         mu_b = mu_b / np.maximum(np.linalg.norm(mu_b, axis=1, keepdims=True), 1e-8)
@@ -1075,10 +1072,12 @@ def profile_to_msa_strings(profile: Profile, names: list[str]) -> dict[str, str]
     aln_len = len(profile.stem)
     out = {}
     for idx in profile.member_indices:
-        chars = profile.aligned_chars[idx]
-        if len(chars) < aln_len:
-            chars = chars + ["-"] * (aln_len - len(chars))
-        out[names[idx]] = "".join(chars[:aln_len])
+        chars = np.asarray(profile.aligned_chars[idx])
+        if chars.size < aln_len:
+            chars = np.concatenate(
+                [chars, np.full(aln_len - chars.size, _GAP, np.uint8)]
+            )
+        out[names[idx]] = chars[:aln_len].tobytes().decode("latin-1")
     return out
 
 

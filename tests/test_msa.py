@@ -34,6 +34,43 @@ class TestPairHMM:
             solo = pairhmm_posteriors([m], -4.0, -0.5)[0]
             np.testing.assert_allclose(P, solo, atol=1e-4)
 
+    def test_device_traceback_matches_host_oracle(self):
+        """The on-device value-based traceback (profile_align_batch_ops)
+        must reproduce the host traceback over the dense M/X/Y exactly,
+        including the M-then-X-then-Y strict-greater tie priority."""
+        from ginfinity_tpu.ops.pairhmm import (
+            profile_align,
+            profile_align_batch_ops,
+        )
+
+        rng = np.random.default_rng(3)
+        mats = [
+            rng.normal(size=(la, lb)).astype(np.float32)
+            for la, lb in [(6, 9), (14, 11), (10, 10), (1, 7)]
+        ]
+        got = profile_align_batch_ops(mats, -3.0, -0.5)
+        for S, ops_dev in zip(mats, got):
+            M, X, Y = profile_align(S, -3.0, -0.5)
+            i, j = S.shape
+            ops = []
+            while i > 0 or j > 0:
+                cur_state, cur_val = 0, -1e30
+                if i > 0 and j > 0 and M[i, j] > cur_val:
+                    cur_val, cur_state = M[i, j], 0
+                if i > 0 and X[i, j] > cur_val:
+                    cur_val, cur_state = X[i, j], 1
+                if j > 0 and Y[i, j] > cur_val:
+                    cur_val, cur_state = Y[i, j], 2
+                ops.append(cur_state)
+                if cur_state == 0:
+                    i, j = i - 1, j - 1
+                elif cur_state == 1:
+                    i -= 1
+                else:
+                    j -= 1
+            ops.reverse()
+            assert list(ops_dev) == ops, (S.shape, list(ops_dev), ops)
+
     def test_profile_dp_matches_reference(self):
         from ginfinity.scripts.embed_msa import _affine_dp_profile
 
@@ -421,10 +458,10 @@ class TestRefinement:
         # extracting ALL members keeps every column and all aligned strings
         assert len(sub.stem) == len(aln.stem)
         for m in aln.member_indices:
-            assert sub.aligned_chars[m] == aln.aligned_chars[m]
+            np.testing.assert_array_equal(sub.aligned_chars[m], aln.aligned_chars[m])
         # extracting one member yields its ungapped sequence
         solo = extract_subprofile(aln, [0], profs)
-        assert all(c != "-" for c in solo.aligned_chars[0])
+        assert (np.asarray(solo.aligned_chars[0]) != ord("-")).all()
         assert len(solo.aligned_chars[0]) == profs[0].mu_struct.shape[0]
 
     def test_sp_score_prefers_correct_alignment(self):
@@ -461,7 +498,7 @@ class TestRefinement:
         assert s1 >= s0 - 1e-6
         assert stats["sp_final"] >= stats["sp_initial"] - 1e-6
         # every sequence still present, equal-length rows
-        lens = {len("".join(refined.aligned_chars[m])) for m in refined.member_indices}
+        lens = {len(refined.aligned_chars[m]) for m in refined.member_indices}
         assert len(lens) == 1
         assert sorted(refined.member_indices) == sorted(aln.member_indices)
 
@@ -481,9 +518,13 @@ class TestRefinement:
         L, d = profs[0].mu_struct.shape
         n_cols = L + 3
         aligned = {}
+        gap3 = np.full(3, ord("-"), np.uint8)
         for m in range(4):
-            chars = profs[m].aligned_chars[m]
-            aligned[m] = (["-"] * 3 + list(chars)) if m == 1 else (list(chars) + ["-"] * 3)
+            chars = np.asarray(profs[m].aligned_chars[m])
+            aligned[m] = (
+                np.concatenate([gap3, chars]) if m == 1
+                else np.concatenate([chars, gap3])
+            )
         bad = Profile(np.zeros((n_cols, d), np.float32), None,
                       np.zeros(n_cols, np.float32), [0, 1, 2, 3], aligned)
         bad = extract_subprofile(bad, [0, 1, 2, 3], profs)
