@@ -360,7 +360,6 @@ def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int):
 
     f32 = jnp.float32
     row_ids = jnp.arange(Lmax)
-    rows_bk = None  # built lazily inside the jit
 
     def round_fn(Cv, Ci, M, pa, pb, pvalid, lam, pmin):
         Np = M.shape[0]
