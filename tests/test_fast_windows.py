@@ -36,6 +36,32 @@ class TestFastWindows:
         emb_host = engine.embed_graphs(graphs)
         np.testing.assert_allclose(emb_dev, emb_host, atol=1e-4, rtol=1e-4)
 
+    @pytest.mark.parametrize("structure", [
+        "((((....))))" * 6,                       # stems only
+        "((..[[..))..]].." * 5,                   # pseudoknot brackets
+        "." * 80,                                 # unpaired only
+        "(" * 30 + "." * 30 + ")" * 30,           # one giant helix
+        "(.)" * 30,                               # adjacent-pair quirk rows
+    ])
+    def test_aligned_path_edge_structures(self, model, structure):
+        """The aligned fused path must match the file-based path on
+        degenerate shapes (pseudoknots, unpaired, adjacent pairs)."""
+        from ginfinity_tpu.pipelines.engine import InferenceEngine, adapt_feature_dim
+        from ginfinity_tpu.pipelines.fast_windows import embed_structure_windows
+        from ginfinity_tpu.pipelines.windows import structure_to_windows
+
+        L = 40
+        starts, emb_dev = embed_structure_windows(model, structure, L, True, 0.0)
+        wins = structure_to_windows(structure, L, True, 0.0)
+        assert list(starts) == [st for st, _ in wins]
+        if not wins:
+            return
+        graphs = adapt_feature_dim(
+            [g for _, g in wins], model.config.node_feature_dim
+        )
+        emb_host = InferenceEngine(model).embed_graphs(graphs)
+        np.testing.assert_allclose(emb_dev, emb_host, atol=2e-4, rtol=1e-4)
+
     def test_max_programs_merge_matches(self, model):
         """Bucket merging (--max-programs) must not change any embedding."""
         from ginfinity_tpu.pipelines.fast_windows import embed_corpus_windows
