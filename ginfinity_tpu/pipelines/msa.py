@@ -11,11 +11,17 @@ ProbCons-style pipeline; same stages, flags, and output files):
    the numba kernels; see that module for the documented bug fix to the
    reference's degenerate forward/backward initialization)
 5. top-K row/col-intersection sparsification with pmin
-6. T-Coffee consistency transform — computed as **dense masked matmuls
-   on the MXU** (P'_AB = (1-lam) P_AB + lam * mean_C P_AC @ P_CB), exactly
-   equivalent to the reference's sparse dict triple products
+6. T-Coffee consistency transform on the MXU
+   (P'_AB = (1-lam) P_AB + lam * mean_C P_AC @ P_CB, exactly equivalent
+   to the reference's sparse dict triple products): the pairwise stage's
+   row-top-k slabs stay DEVICE-RESIDENT end-to-end — small families run
+   the dense one-einsum-per-round path, large ones the tiled sparse path
+   (forward-only [P, L, K] slabs + signed slot map; no [N, N, L, L]
+   tensor ever exists, so Rfam-scale families never fall back to the
+   host loop)
 7. guide tree (NJ / UPGMA) from 1 - mean(P) distances
-8. progressive profile-profile alignment (device wavefront DP, reference
+8. progressive profile-profile alignment (device wavefront DP with
+   ON-DEVICE value-based traceback — only op codes download; reference
    scoring: struct dot + 0.2 stem-compat bonus, optional dual modality)
 9. iterative refinement — REAL split-and-realign keeping sum-of-pairs
    improvements (the reference's hook is an explicit no-op placeholder,
