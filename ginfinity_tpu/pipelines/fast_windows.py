@@ -29,11 +29,19 @@ path to f32 tolerance.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# VMEM-resident Pallas encoder for the aligned window path
+# (ops/pallas_windows.py) — on by default for the configs it covers
+# (TPU-parity-verified to 1.5e-6 vs the XLA path at HIGHEST precision;
+# 76.7k vs 55.7k emb/s device-only on the bench corpus).  Set
+# GINFINITY_PALLAS_WINDOWS=0 to force the XLA path.
+_USE_PALLAS = os.environ.get("GINFINITY_PALLAS_WINDOWS", "1") != "0"
 
 from ginfinity_tpu.graphs.batching import GraphBatch
 from ginfinity_tpu.graphs.build import standard_node_features
@@ -321,7 +329,7 @@ def _flatten_window_chunk(wb: GraphBatch, chunk: int, n_per: int) -> GraphBatch:
 def _forward_windows_aligned(config: GINConfig, params, state, feats_all,
                              pts_all, si, st, L: int,
                              keep_paired_neighbors: bool = True,
-                             views=None):
+                             views=None, use_pallas=None):
     """Fused build + GINE forward for a chunk of windows in the ALIGNED
     layout: slot i < L holds window position start+i; slot L+i holds the
     pulled outside partner of position i (masked when absent).
@@ -386,6 +394,23 @@ def _forward_windows_aligned(config: GINConfig, params, state, feats_all,
     x = _dense(
         node_feat.reshape(C * 2 * L, -1), params["node_encoder"], prec
     ).reshape(C, 2 * L, -1)
+
+    if use_pallas is None:
+        # default on for accelerators only: on CPU the kernel can only
+        # run in (slow) interpret mode — covered explicitly by tests
+        use_pallas = _USE_PALLAS and jax.default_backend() != "cpu"
+    if use_pallas and C % 8 == 0:
+        from ginfinity_tpu.ops.pallas_windows import (
+            forward_windows_pallas,
+            pallas_windows_ok,
+        )
+
+        if pallas_windows_ok(config):
+            return forward_windows_pallas(
+                config, params, state, x, j_local, bp_in, pulled,
+                fwd_into_w[..., 0], fwd_into_p[..., 0], L,
+                interpret=jax.default_backend() == "cpu",
+            )
 
     pos = jnp.arange(L)
     m_next = (pos <= L - 2).astype(f32)[None, :, None]
