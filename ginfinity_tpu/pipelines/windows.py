@@ -234,10 +234,40 @@ def load_windows_graphs(path: str) -> dict[str, GraphArrays]:
     return out
 
 
+def _base_mask_from_data(data, x: np.ndarray) -> np.ndarray:
+    """Boolean base-node mask for a foreign PyG ``Data``, with the
+    reference's fallback ladder (generate_node_embeddings.py:132-182):
+    ``base_node_mask`` attr -> ``num_base_nodes`` prefix -> forgi
+    feature-indicator heuristic (is_base column sits just before the
+    7-way forgi-type one-hot) -> all nodes."""
+    n = x.shape[0]
+    mask = getattr(data, "base_node_mask", None)
+    if mask is not None:
+        m = np.asarray(mask).reshape(-1).astype(bool)
+        if m.size == n:
+            return m
+    nb = getattr(data, "num_base_nodes", None)
+    if nb is not None:
+        m = np.zeros(n, bool)
+        m[: min(int(nb), n)] = True
+        return m
+    from ginfinity_tpu.graphs.build import FORGI_NODE_TYPES
+
+    if x.ndim == 2 and x.shape[1] >= 9 + len(FORGI_NODE_TYPES):
+        return x[:, x.shape[1] - len(FORGI_NODE_TYPES) - 1] > 0.5
+    return np.ones(n, bool)
+
+
 def _load_torch_windows(path: str) -> dict[str, GraphArrays]:
     """Read a windows_graphs.pt (reference format).  torch_geometric
     itself is not required: graphs.pyg_compat installs pickle-compatible
-    stand-ins for the PyG classes inside the archive."""
+    stand-ins for the PyG classes inside the archive.
+
+    ``GraphArrays`` keeps base nodes as a prefix; when a foreign archive's
+    base mask is not a prefix (possible for hand-built forgi graphs), the
+    nodes are stably permuted base-first and edge indices remapped — the
+    base rows keep their original relative order, so downstream output
+    matches the reference's ``node_x[mask]`` filtering exactly."""
     import torch
 
     from ginfinity_tpu.graphs.pyg_compat import ensure_pyg
@@ -249,8 +279,17 @@ def _load_torch_windows(path: str) -> dict[str, GraphArrays]:
         x = data.x.numpy().astype(np.float32)
         ei = data.edge_index.numpy().astype(np.int32)
         ea = data.edge_attr.numpy().astype(np.float32)
-        nb = getattr(data, "num_base_nodes", x.shape[0])
-        out[wid] = GraphArrays(x, ei[0], ei[1], ea, x.shape[0], int(nb))
+        m = _base_mask_from_data(data, x)
+        nb = int(m.sum())
+        src, dst = ei[0], ei[1]
+        if nb < x.shape[0] and not m[:nb].all():  # non-prefix mask
+            order = np.argsort(~m, kind="stable")  # base nodes first
+            inv = np.empty_like(order)
+            inv[order] = np.arange(order.size, dtype=order.dtype)
+            x = x[order]
+            src = inv[src].astype(np.int32)
+            dst = inv[dst].astype(np.int32)
+        out[wid] = GraphArrays(x, src, dst, ea, x.shape[0], nb)
     return out
 
 

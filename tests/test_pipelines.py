@@ -175,6 +175,56 @@ class TestWindows:
             np.testing.assert_array_equal(a[wid].edge_attr, b[wid].edge_attr)
             assert a[wid].n_base_nodes == b[wid].n_base_nodes
 
+    def test_foreign_pt_mask_fallbacks(self, tmp_path):
+        """Foreign windows_graphs.pt archives without our exact
+        ``num_base_nodes`` attribute must still filter base nodes
+        correctly, via the reference's fallback ladder
+        (generate_node_embeddings.py:132-182): base_node_mask attr ->
+        num_base_nodes prefix -> forgi feature-indicator heuristic ->
+        all nodes."""
+        import torch
+
+        from ginfinity_tpu.graphs.pyg_compat import Data, ensure_pyg
+        from ginfinity_tpu.pipelines.windows import load_windows_graphs
+
+        ensure_pyg(force_stubs=True)
+        fdim = 16  # forgi layout: 8 base/seq + is_base + 7 forgi types
+        is_base_col = fdim - 7 - 1
+
+        def forgi_x(n, base_rows):
+            x = np.zeros((n, fdim), np.float32)
+            x[base_rows, is_base_col] = 1.0
+            return torch.from_numpy(x)
+
+        ei = torch.tensor([[0, 1, 2], [1, 2, 3]])
+        ea = torch.zeros((3, 7))
+
+        # (a) explicit non-prefix base_node_mask: nodes 0,2,3 are bases
+        d_mask = Data(x=forgi_x(4, [0, 2, 3]), edge_index=ei, edge_attr=ea)
+        d_mask.base_node_mask = torch.tensor([True, False, True, True])
+        # (b) no mask attrs at all -> feature-indicator heuristic
+        d_feat = Data(x=forgi_x(4, [0, 1]), edge_index=ei, edge_attr=ea)
+        # (c) standard 4-dim features, no attrs -> all nodes are bases
+        d_std = Data(
+            x=torch.zeros((4, 4)), edge_index=ei, edge_attr=torch.zeros((3, 4))
+        )
+        path = str(tmp_path / "foreign.pt")
+        torch.save({"a": d_mask, "b": d_feat, "c": d_std}, path)
+
+        g = load_windows_graphs(path)
+        assert g["a"].n_base_nodes == 3
+        # non-prefix mask: nodes reordered base-first (orig 0,2,3 then 1),
+        # edges remapped to the new ids
+        assert g["a"].node_feat[:3, is_base_col].all()
+        assert g["a"].node_feat[3, is_base_col] == 0.0
+        orig_edges = {(0, 1), (1, 2), (2, 3)}
+        perm = {0: 0, 2: 1, 3: 2, 1: 3}  # old id -> new id
+        remapped = {(perm[s], perm[d]) for s, d in orig_edges}
+        got = set(zip(g["a"].edge_src.tolist(), g["a"].edge_dst.tolist()))
+        assert got == remapped
+        assert g["b"].n_base_nodes == 2
+        assert g["c"].n_base_nodes == 4
+
     def test_embed_from_windows(self, tmp_path, mini_csv):
         from ginfinity_tpu.pipelines.embed import main as embed_main
         from ginfinity_tpu.pipelines.windows import main as win_main
