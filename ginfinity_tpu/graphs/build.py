@@ -113,6 +113,59 @@ def standard_node_features(
     return feat
 
 
+def window_node_features(
+    pt: np.ndarray,
+    sequence: str | None,
+    seq_weight: float,
+    graph_encoding: str = "standard",
+    feature_dim: int | None = None,
+) -> np.ndarray:
+    """Node features for base-only window graphs in a model's feature
+    space.
+
+    Standard models get the plain standard block.  Forgi models get the
+    same block placed in the forgi node layout (utils.py:498-531:
+    ``[4 struct, 4 seq, is_base, 7 type]``) with ``is_base=1`` and no
+    element-type one-hot — windows carry no meta-nodes (the reference's
+    window generator builds standard graphs only, generate_windows.py:69,
+    so base rows in forgi space are the faithful extension), and in the
+    full forgi featurizer base nodes never carry a type either
+    (build_forgi above).
+    """
+    if (graph_encoding or "standard").lower() != "forgi":
+        return standard_node_features(pt, sequence, seq_weight, feature_dim)
+    n = pt.shape[0]
+    fdim = (
+        feature_dim
+        if feature_dim is not None
+        else 4 + 4 + 1 + len(FORGI_NODE_TYPES)
+    )
+    std = standard_node_features(pt, sequence, seq_weight)  # 4 (+4 seq) cols
+    feat = np.zeros((n, fdim), np.float32)
+    c = min(std.shape[1], 8, fdim)
+    feat[:, :c] = std[:, :c]
+    if fdim > 8:
+        feat[:, 8] = 1.0  # is_base
+    return feat
+
+
+def window_edge_const_rows(edge_dim: int) -> np.ndarray:
+    """Constant edge-attr rows ``[adj_from_next, adj_from_prev, bp_fwd,
+    bp_bwd]`` for the standard (4) or forgi (7) edge layout: adjacent /
+    base_pair flags in cols 0/1, is_forward / is_backward in the LAST two
+    cols; forgi's middle cols are meta-edge classes, always zero for the
+    base-level edges windows contain."""
+    rows = np.zeros((4, edge_dim), np.float32)
+    rows[0, 0] = rows[1, 0] = 1.0  # adjacent
+    rows[2, 1] = rows[3, 1] = 1.0  # base_pair
+    fwd, bwd = edge_dim - 2, edge_dim - 1
+    rows[0, bwd] = 1.0  # message from next node: src > dst -> is_forward=0
+    rows[1, fwd] = 1.0
+    rows[2, fwd] = 1.0
+    rows[3, bwd] = 1.0
+    return rows
+
+
 def _standard_edges(pt: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n = pt.shape[0]
     # Backbone: (i-1, i) for i in 1..n-1.

@@ -208,14 +208,12 @@ def pack_params(config, params, state):
             for k in ("mlp0", "mlp1")
         ]
     )
+    # [adj_from_next, adj_from_prev, bp_fwd, bp_bwd] in the model's edge
+    # layout (standard 4-dim or forgi 7-dim)
+    from ginfinity_tpu.graphs.build import window_edge_const_rows
+
     attrs = jnp.asarray(
-        [
-            [1.0, 0.0, 0.0, 1.0],   # adjacent, from next (is_forward=0)
-            [1.0, 0.0, 1.0, 0.0],   # adjacent, from prev
-            [0.0, 1.0, 1.0, 0.0],   # base pair, is_forward=1
-            [0.0, 1.0, 0.0, 1.0],   # base pair, is_forward=0
-        ],
-        jnp.float32,
+        window_edge_const_rows(config.edge_feature_dim), jnp.float32
     )
     eb = jnp.stack(
         [

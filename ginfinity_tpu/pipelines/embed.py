@@ -127,11 +127,6 @@ def generate_window_embeddings(
     from ginfinity_tpu.pipelines.fast_windows import embed_corpus_windows
 
     cfg, params, state, _ = load_checkpoint(model_path)
-    if cfg.graph_encoding != "standard":
-        raise SystemExit(
-            "--window-size supports the standard encoding only; use "
-            "ginfinity-generate-windows + --graph-pt for forgi models."
-        )
     if precision != "highest":
         cfg = cfg.with_precision(precision)
     model = GINModel(cfg, params, state)
@@ -186,7 +181,7 @@ def _embed_precomputed(args):
     """--graph-pt mode: embed precomputed window graphs
     (our .npz format from ginfinity_tpu.pipelines.windows; the reference's
     torch .pt format is also accepted when its unpickling deps exist)."""
-    from ginfinity_tpu.pipelines.engine import adapt_feature_dim
+    from ginfinity_tpu.pipelines.engine import adapt_graphs_to_model
     from ginfinity_tpu.pipelines.windows import load_windows_graphs
 
     graph_map = load_windows_graphs(args.graph_pt)
@@ -202,7 +197,7 @@ def _embed_precomputed(args):
         precision="highest" if args.precision == "f32" else "bf16",
         max_nodes_per_batch=args.batch_nodes,
     )
-    graphs = adapt_feature_dim(graphs, engine.config.node_feature_dim)
+    graphs = adapt_graphs_to_model(graphs, engine.config)
     embeddings = engine.embed_graphs(graphs)
 
     rows = []

@@ -90,6 +90,41 @@ def adapt_feature_dim(graphs: Sequence[GraphArrays], feature_dim: int) -> list[G
     return out
 
 
+def adapt_graphs_to_model(graphs: Sequence[GraphArrays], cfg) -> list[GraphArrays]:
+    """Feature-dim adaptation plus edge-layout mapping for forgi models.
+
+    Standard-encoded window graphs (4-dim edge attrs ``[adj, bp, fwd,
+    bwd]``) feeding a forgi checkpoint map into the forgi 7-dim edge
+    layout (adj/bp -> cols 0/1, fwd/bwd -> cols 5/6; utils.py:498-531)
+    and the forgi node layout with ``is_base=1`` for base rows — the
+    reference's window generator only builds standard graphs
+    (generate_windows.py:69), so this is the faithful embedding of
+    window graphs into a forgi model's feature space."""
+    forgi = (cfg.graph_encoding or "standard").lower() == "forgi"
+    out = []
+    for g in graphs:
+        f, ea = g.node_feat, g.edge_attr
+        if forgi and f.shape[1] <= 8 < cfg.node_feature_dim:
+            nf = np.zeros((f.shape[0], cfg.node_feature_dim), np.float32)
+            c = min(f.shape[1], 8)
+            nf[:, :c] = f[:, :c]
+            nf[: g.n_base_nodes, 8] = 1.0
+            f = nf
+        if ea.shape[1] == 4 and cfg.edge_feature_dim == 7:
+            na = np.zeros((ea.shape[0], 7), np.float32)
+            na[:, :2] = ea[:, :2]
+            na[:, 5:7] = ea[:, 2:4]
+            ea = na
+        if f is not g.node_feat or ea is not g.edge_attr:
+            g = dataclasses.replace(
+                g,
+                node_feat=np.ascontiguousarray(f),
+                edge_attr=np.ascontiguousarray(ea),
+            )
+        out.append(g)
+    return adapt_feature_dim(out, cfg.node_feature_dim)
+
+
 class InferenceEngine:
     """Bucketed batched inference over a trained GIN model.
 

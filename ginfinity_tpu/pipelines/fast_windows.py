@@ -44,7 +44,10 @@ import numpy as np
 _USE_PALLAS = os.environ.get("GINFINITY_PALLAS_WINDOWS", "1") != "0"
 
 from ginfinity_tpu.graphs.batching import GraphBatch
-from ginfinity_tpu.graphs.build import standard_node_features
+from ginfinity_tpu.graphs.build import (
+    window_edge_const_rows,
+    window_node_features,
+)
 from ginfinity_tpu.graphs.dotbracket import pair_table
 from ginfinity_tpu.models.gine import GINConfig, forward_once
 
@@ -70,7 +73,7 @@ def _compact(flags, values_list, cap: int):
 def _window_batch(feats_all, pts_all, si, start, L: int,
                   keep_paired_neighbors: bool,
                   p_cap: int = None, b_cap: int = None,
-                  include_backbone: bool = True):
+                  include_backbone: bool = True, edge_dim: int = 4):
     """Build one window's GraphBatch (single graph) inside jit.
 
     ``feats_all [S, n_cap, F]`` / ``pts_all [S, n_cap]`` are the stacked
@@ -124,13 +127,16 @@ def _window_batch(feats_all, pts_all, si, start, L: int,
     )
 
     def both_dirs(src, dst, mask, fwd, attr2):
-        # attr2 = [adjacent, base_pair]
+        # attr2 = [adjacent, base_pair]; fwd/bwd sit in the LAST two attr
+        # cols for both the standard (4) and forgi (7) edge layouts —
+        # forgi's middle cols are meta-edge classes, zero here.
         s = jnp.concatenate([src, dst])
         d = jnp.concatenate([dst, src])
         m = jnp.concatenate([mask, mask])
         f = jnp.concatenate([fwd, 1.0 - fwd])
         a = jnp.broadcast_to(jnp.asarray(attr2, jnp.float32), (s.shape[0], 2))
-        attr = jnp.concatenate([a, f[:, None], 1.0 - f[:, None]], axis=1)
+        mid = jnp.zeros((s.shape[0], edge_dim - 4), jnp.float32)
+        attr = jnp.concatenate([a, mid, f[:, None], 1.0 - f[:, None]], axis=1)
         return s, d, attr * m[:, None], m
 
     # forward flags: backbone src(i) > dst(i-1) in original order -> fwd=0
@@ -223,7 +229,8 @@ def _embed_windows_jit(config: GINConfig, params, state, feat, pt, starts,
             )
         wb = jax.vmap(
             lambda s: _window_batch(feat[None], pt[None], 0, s, L,
-                                    keep_paired_neighbors, p_cap, b_cap)
+                                    keep_paired_neighbors, p_cap, b_cap,
+                                    edge_dim=config.edge_feature_dim)
         )(st)
         gb = _flatten_window_chunk(wb, chunk, n_per)
         return forward_once(config, params, state, gb)[0]
@@ -263,7 +270,9 @@ def embed_structure_windows(
     n = pt.shape[0]
     if n < L:
         return np.zeros(0, np.int64), np.zeros((0, cfg.output_dim), np.float32)
-    feat = standard_node_features(pt, None, cfg.seq_weight, cfg.node_feature_dim)
+    feat = window_node_features(
+        pt, None, cfg.seq_weight, cfg.graph_encoding, cfg.node_feature_dim
+    )
     keep = window_starts_mask(structure, L, mask_threshold)
     starts = np.nonzero(keep)[0].astype(np.int32)
     if starts.size == 0:
@@ -418,14 +427,14 @@ def _forward_windows_aligned(config: GINConfig, params, state, feats_all,
     pulled3 = pulled[..., None]
     bp3 = bp_in[..., None]
 
-    def edge_vec(a):  # -> [H] embedding of one constant edge-attr row
-        return jnp.asarray(a, f32)
-
+    # constant edge-attr rows in the model's edge layout (standard 4-dim
+    # or forgi 7-dim; fwd/bwd always the last two cols)
+    const_rows = window_edge_const_rows(config.edge_feature_dim)
     attrs = {
-        "adj_from_next": edge_vec([1.0, 0.0, 0.0, 1.0]),
-        "adj_from_prev": edge_vec([1.0, 0.0, 1.0, 0.0]),
-        "bp_f": edge_vec([0.0, 1.0, 1.0, 0.0]),   # is_forward = 1
-        "bp_b": edge_vec([0.0, 1.0, 0.0, 1.0]),
+        "adj_from_next": jnp.asarray(const_rows[0], f32),
+        "adj_from_prev": jnp.asarray(const_rows[1], f32),
+        "bp_f": jnp.asarray(const_rows[2], f32),   # is_forward = 1
+        "bp_b": jnp.asarray(const_rows[3], f32),
     }
 
     for i in range(config.gin_layers):
@@ -484,7 +493,7 @@ def _dense_forward_ok(config: GINConfig) -> bool:
     standard encoding (4-dim edges), graph/none norm, add/mean pooling.
     Anything else routes through the generic flattened forward_once."""
     return (
-        config.edge_feature_dim == 4
+        config.edge_feature_dim in (4, 7)
         and config.norm_type in ("graph", "none")
         and config.pooling_type in ("global_add_pool", "global_mean_pool")
     )
@@ -530,7 +539,8 @@ def _embed_windows_stacked_jit(config: GINConfig, params, state, feats, pts,
             )
         wb = jax.vmap(
             lambda s_, t_: _window_batch(feats, pts, s_, t_, L,
-                                         keep_paired_neighbors, p_cap, b_cap)
+                                         keep_paired_neighbors, p_cap, b_cap,
+                                         edge_dim=config.edge_feature_dim)
         )(si, st)
         gb = _flatten_window_chunk(wb, chunk, n_per)
         return forward_once(config, params, state, gb)[0]
@@ -560,7 +570,9 @@ def _prep_corpus_groups(cfg, structures, L, keep_paired_neighbors,
         starts = np.nonzero(keep)[0].astype(np.int32)
         if starts.size == 0:
             continue
-        feat = standard_node_features(pt, None, cfg.seq_weight, cfg.node_feature_dim)
+        feat = window_node_features(
+            pt, None, cfg.seq_weight, cfg.graph_encoding, cfg.node_feature_dim
+        )
         b_max, p_max = _window_slot_caps(pt, L, starts, keep_paired_neighbors)
         per[i] = (_round_capacity(n), feat, pt, n, starts, b_max, p_max)
 

@@ -20,7 +20,7 @@ import pandas as pd
 
 from ginfinity_tpu.pipelines.engine import (
     InferenceEngine,
-    adapt_feature_dim,
+    adapt_graphs_to_model,
     preprocess_structures,
 )
 from ginfinity_tpu.utils.io import log_information, setup_and_read_input
@@ -157,7 +157,7 @@ def main(argv=None):
         open(log_path, "a").close()
 
         engine = InferenceEngine.from_checkpoint(args.model_path, max_nodes_per_batch=args.batch_nodes)
-        graphs = adapt_feature_dim(graphs, engine.config.node_feature_dim)
+        graphs = adapt_graphs_to_model(graphs, engine.config)
         mats = engine.node_embeddings(graphs, base_only=True)
 
         rows = []

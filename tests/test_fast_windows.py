@@ -62,6 +62,46 @@ class TestFastWindows:
         emb_host = InferenceEngine(model).embed_graphs(graphs)
         np.testing.assert_allclose(emb_dev, emb_host, atol=2e-4, rtol=1e-4)
 
+    @pytest.mark.parametrize("uniform_h", [True, False])
+    def test_forgi_model_matches_file_path(self, uniform_h):
+        """Forgi checkpoints on --window-size: the fused path must match
+        the file-based windows -> adapt -> engine flow (window graphs
+        embed into the forgi feature space base-only: is_base=1, edge
+        attrs in the 7-dim layout).  uniform_h=True exercises the Pallas
+        gate's config family; False the generic aligned XLA path."""
+        import jax
+
+        from ginfinity_tpu.models.gine import GINConfig, GINModel, init_params
+        from ginfinity_tpu.pipelines.engine import (
+            InferenceEngine,
+            adapt_graphs_to_model,
+        )
+        from ginfinity_tpu.pipelines.fast_windows import embed_structure_windows
+        from ginfinity_tpu.pipelines.windows import structure_to_windows
+
+        cfg = GINConfig.create(
+            hidden_dim=128 if uniform_h else [64, 96],
+            output_dim=128 if uniform_h else 32,
+            gin_layers=2,
+            graph_encoding="forgi",
+            node_feature_dim=16,
+            edge_feature_dim=7,
+            pooling_type="global_mean_pool",
+            norm_type="graph",
+            use_residual=True,
+            normalize_nodes_before_pool=True,
+            node_embed_norm="zscore_l2",
+        )
+        params, state = init_params(jax.random.PRNGKey(3), cfg)
+        m = GINModel(cfg, params, state)
+        s = str(pd.read_csv(SAMPLE)["secondary_structure"].iloc[1])
+        starts, emb_dev = embed_structure_windows(m, s, 100, True, 0.1)
+        wins = structure_to_windows(s, 100, True, 0.1)
+        assert list(starts) == [st for st, _ in wins]
+        graphs = adapt_graphs_to_model([g for _, g in wins], cfg)
+        emb_host = InferenceEngine(m).embed_graphs(graphs)
+        np.testing.assert_allclose(emb_dev, emb_host, atol=2e-4, rtol=1e-4)
+
     def test_max_programs_merge_matches(self, model):
         """Bucket merging (--max-programs) must not change any embedding."""
         from ginfinity_tpu.pipelines.fast_windows import embed_corpus_windows
