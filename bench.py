@@ -244,6 +244,36 @@ def measure_msa_quick(n_seq=16, L=120, dim=16):
     return {"msa_seconds_warm": round(dt, 2), "n_seq": n_seq, "Lmax": L}
 
 
+def measure_msa_quality(families=2, n_seqs=5, anc_len=120):
+    """MSA output quality vs the reference's own embed_msa.py (run
+    pure-Python in a subprocess) on identical node-embedding TSVs for
+    families with known homology.  'repo' = reference-parity scoring,
+    'repo_library' = the T-Coffee-correct library scoring mode."""
+    import contextlib
+    import tempfile
+
+    from ginfinity_tpu.pipelines.msa_eval import (
+        compare_on_family,
+        make_family,
+    )
+
+    agg: dict[str, list] = {}
+    with tempfile.TemporaryDirectory() as td:
+        for f in range(families):
+            members = make_family(
+                300 + f, n_seqs=n_seqs, anc_len=anc_len,
+                sub_rate=0.05, del_rate=0.03, ins_rate=0.03,
+            )
+            with contextlib.redirect_stdout(sys.stderr):
+                res = compare_on_family(members, CKPT, os.path.join(td, f"f{f}"))
+            for k in ("repo", "repo_library", "reference"):
+                agg.setdefault(k + "_sp_f1", []).append(res[k]["sp_f1"])
+                agg.setdefault(k + "_wall_sec", []).append(res[k]["wall_sec"])
+    out = {k: round(float(np.mean(v)), 4) for k, v in agg.items()}
+    out.update({"families": families, "n_seqs": n_seqs, "anc_len": anc_len})
+    return out
+
+
 def main():
     import pandas as pd
     import torch
@@ -281,7 +311,8 @@ def main():
     # must not sink the headline metric.
     extra = {}
     for name, fn in (("search", measure_search_quick), ("train", measure_train_step),
-                     ("msa", measure_msa_quick)):
+                     ("msa", measure_msa_quick),
+                     ("msa_quality_vs_reference", measure_msa_quality)):
         try:
             extra[name] = fn()
         except Exception as exc:  # pragma: no cover

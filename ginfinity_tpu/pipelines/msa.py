@@ -517,7 +517,8 @@ def _run_consistency_tiled(post, N, rounds, lam, topk, pmin, Lmax):
 def consistency_rounds_to_distances_from_slabs(
     kv_list, ki_list, pair_chunks, N, Lmax, k, rounds,
     lam: float = 0.5, pmin: float = 1e-4,
-) -> np.ndarray:
+    return_slabs: bool = False,
+):
     """Fully device-resident consistency + distances: consumes the
     pairwise stage's per-batch row-top-k slab arrays DIRECTLY (no
     posterior download and no re-upload — at max-pairs=2000, L=300 the
@@ -531,7 +532,8 @@ def consistency_rounds_to_distances_from_slabs(
     pairs = [pr for chunk in pair_chunks for pr in chunk]
     P = len(pairs)
     if P == 0:
-        return np.zeros((N, N), np.float32)
+        D0 = np.zeros((N, N), np.float32)
+        return (D0, pairs, None, None) if return_slabs else D0
     TP = _TILE_TP
     P_pad = -(-P // TP) * TP
     kv_parts = [kv[: len(chunk)] for kv, chunk in zip(kv_list, pair_chunks)]
@@ -542,7 +544,7 @@ def consistency_rounds_to_distances_from_slabs(
     Cv_d = jnp.concatenate(kv_parts)
     Ci_d = jnp.concatenate([p.astype(jnp.int32) for p in ki_parts])
     if rounds > 0:
-        Cv_d, _ = _consistency_rounds_on_slabs(
+        Cv_d, Ci_d = _consistency_rounds_on_slabs(
             Cv_d, Ci_d, pairs, N, rounds, lam, pmin, Lmax, k
         )
     sums = np.asarray(Cv_d.sum(axis=(-1, -2)))
@@ -551,6 +553,11 @@ def consistency_rounds_to_distances_from_slabs(
     for t, (a, b) in enumerate(pairs):
         d = 1.0 - sums[t] / cnts[t] if cnts[t] > 0 else 1.0
         D[a, b] = D[b, a] = min(1.0, max(0.0, float(d)))
+    if return_slabs:
+        # library-mode progressive alignment consumes the transformed
+        # posteriors on host: one [P, Lmax, k] download (the only mode
+        # that pays for it)
+        return D, pairs, np.asarray(Cv_d[:P]), np.asarray(Ci_d[:P])
     return D
 
 
@@ -817,6 +824,68 @@ def _profile_score_matrix(A: Profile, B: Profile, seq_weight: float) -> np.ndarr
     return (S + comp).astype(np.float32)
 
 
+class PosteriorLibrary:
+    """Sparse (consistency-transformed) match posteriors for library-mode
+    progressive alignment (``--dp-score library``).
+
+    This is the T-Coffee/ProbCons-correct use of the library: the
+    progressive DP scores column pairs by the mean posterior match
+    probability between their member positions, instead of the
+    reference's raw mean-embedding dot products (embed_msa.py:874-985,
+    which uses the library only for the guide tree).  Storage is the
+    row-top-k slab layout of the consistency engine: per pair (a, b) in
+    FORWARD orientation, ``vals[i, t]`` is the posterior between a's
+    position i and b's position ``idx[i, t]`` (zero entries unused).
+    """
+
+    def __init__(self, pairs, vals, idx, lengths):
+        self.by_pair = {}
+        for t, (a, b) in enumerate(pairs):
+            la = lengths[a]
+            self.by_pair[(a, b)] = (vals[t, :la], idx[t, :la])
+        self.lengths = lengths
+
+    def score_matrix(self, A: "Profile", B: "Profile") -> np.ndarray:
+        La = A.mu_struct.shape[0]
+        Lb = B.mu_struct.shape[0]
+        flat = np.zeros(La * Lb, np.float64)
+        pos_a = {x: _member_pos_to_col(A.aligned_chars[x]) for x in A.member_indices}
+        pos_b = {y: _member_pos_to_col(B.aligned_chars[y]) for y in B.member_indices}
+        for x in A.member_indices:
+            for y in B.member_indices:
+                # slab entry (p, t): posterior v[p, t] between the slab
+                # owner's position p and the partner's position i[p, t]
+                if pos_a[x].size == 0 or pos_b[y].size == 0:
+                    continue
+                fwd = self.by_pair.get((x, y))
+                if fwd is not None:
+                    v, i = fwd  # owner = x
+                    rows = np.repeat(pos_a[x], v.shape[1])
+                    # clip before the fancy gather; zero-val padding rows
+                    # may hold garbage indices and are masked out below
+                    cols = pos_b[y][np.minimum(i.ravel(), pos_b[y].size - 1)]
+                else:
+                    rev = self.by_pair.get((y, x))
+                    if rev is None:
+                        continue  # pair outside the (kNN-capped) library
+                    v, i = rev  # owner = y
+                    rows = pos_a[x][np.minimum(i.ravel(), pos_a[x].size - 1)]
+                    cols = np.repeat(pos_b[y], v.shape[1])
+                vv = v.ravel()
+                nz = vv > 0
+                flat += np.bincount(
+                    rows[nz] * Lb + cols[nz], weights=vv[nz], minlength=La * Lb
+                )
+        denom = len(A.member_indices) * len(B.member_indices)
+        return (flat / denom).reshape(La, Lb).astype(np.float32)
+
+
+def _member_pos_to_col(chars: np.ndarray) -> np.ndarray:
+    """For one member's aligned char row: original position -> profile
+    column index."""
+    return np.nonzero(chars != _GAP)[0]
+
+
 def merge_profiles(A: Profile, B: Profile, gap_open, gap_extend, seq_weight=0.0) -> Profile:
     from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops
 
@@ -896,7 +965,8 @@ def _merge_from_ops(A: Profile, B: Profile, ops) -> Profile:
     return Profile(mu_s, mu_b, stem, members, aligned)
 
 
-def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0) -> Profile:
+def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
+                  scorer=None) -> Profile:
     """Progressive alignment, levelized: every round batches ALL merges
     whose children are ready into one device DP program (the tree depth,
     not the merge count, sets the number of sequential device round
@@ -928,7 +998,10 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0) -> P
         ready = [n for n in remaining if get(n[0]) is not None and get(n[1]) is not None]
         remaining = [n for n in remaining if get(n[0]) is None or get(n[1]) is None]
         pairs = [(get(n[0]), get(n[1])) for n in ready]
-        mats = [_profile_score_matrix(a, b, seq_weight) for a, b in pairs]
+        if scorer is not None:
+            mats = [scorer(a, b) for a, b in pairs]
+        else:
+            mats = [_profile_score_matrix(a, b, seq_weight) for a, b in pairs]
         all_ops = profile_align_batch_ops(mats, gap_open, gap_extend)
         for n, (a, b), ops in zip(ready, pairs, all_ops):
             resolved[id(n)] = _merge_from_ops(a, b, ops)
@@ -1041,6 +1114,7 @@ def iterative_refinement(
     gap_open: float,
     gap_extend: float,
     seq_weight: float = 0.0,
+    scorer=None,
 ) -> tuple[Profile, dict]:
     """Split-and-realign refinement; returns (best alignment, stats)."""
     best = aln
@@ -1059,7 +1133,13 @@ def iterative_refinement(
             continue
         A = extract_subprofile(best, part_a, seq_profiles)
         B = extract_subprofile(best, part_b, seq_profiles)
-        cand = merge_profiles(A, B, gap_open, gap_extend, seq_weight)
+        if scorer is not None:
+            from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops
+
+            ops = profile_align_batch_ops([scorer(A, B)], gap_open, gap_extend)[0]
+            cand = _merge_from_ops(A, B, ops)
+        else:
+            cand = merge_profiles(A, B, gap_open, gap_extend, seq_weight)
         sc = sp_score(cand, seq_profiles)
         if sc > best_score:
             best, best_score = cand, sc
@@ -1166,6 +1246,18 @@ def build_parser():
                     help="Local pair-HMM posteriors (restart/end-anywhere "
                          "model; reference embed_msa.py --use-local).")
     ap.add_argument("--tree", choices=["nj", "upgma"], default="nj")
+    ap.add_argument("--dp-score", choices=["profile", "library"], default="profile",
+                    help="Progressive-DP scoring. 'profile' (default) is "
+                         "reference parity: raw mean-embedding dots + stem "
+                         "bonus (embed_msa.py:874-985). 'library' is the "
+                         "T-Coffee/ProbCons-correct mode: columns score by "
+                         "the consistency-transformed match posteriors — "
+                         "measured substantially more accurate on families "
+                         "with known homology (see msa_eval).")
+    ap.add_argument("--dp-gap-open", type=float, default=None,
+                    help="Progressive-DP gap open (library mode defaults "
+                         "to 0: posterior scores already price gaps).")
+    ap.add_argument("--dp-gap-extend", type=float, default=None)
     ap.add_argument("--refine-iters", type=int, default=0)
     ap.add_argument("--num-workers", type=int, default=4, help="Reference CLI compatibility.")
     ap.add_argument("--max-pairs", type=int, default=2000)
@@ -1336,29 +1428,70 @@ def main(argv=None):
             heatmaps.append(((a, b), mp[(a, b)]))
 
     t_stage = stage_done("posteriors", t_stage)
+    want_library = args.dp_score == "library"
+    library = None
     if N >= 3 and args.consistency_rounds > 0 and pairs:
         print(f"Running {args.consistency_rounds} consistency round(s)...")
         Lcap_used = slab_kv[0].shape[1]
-        D = consistency_rounds_to_distances_from_slabs(
+        out = consistency_rounds_to_distances_from_slabs(
             slab_kv, slab_ki, pair_chunks, N, Lcap_used, slab_kv[0].shape[2],
             args.consistency_rounds, lam=0.5, pmin=1e-4,
+            return_slabs=want_library,
         )
+        if want_library:
+            D, lib_pairs, lib_v, lib_i = out
+            if lib_v is not None:
+                library = PosteriorLibrary(
+                    lib_pairs, lib_v, lib_i,
+                    [r.emb.shape[0] for r in records],
+                )
+        else:
+            D = out
     else:
         D = build_distance_matrix(materialize_post(), N)
+    if want_library and library is None and pairs:
+        # no consistency pass ran (rounds=0 or N<3): the raw pairwise
+        # slabs are the library
+        import jax.numpy as jnp
+
+        lib_pairs = [pr for chunk in pair_chunks for pr in chunk]
+        lib_v = np.concatenate(
+            [np.asarray(kv[: len(ch)]) for kv, ch in zip(slab_kv, pair_chunks)]
+        )
+        lib_i = np.concatenate(
+            [np.asarray(ki[: len(ch)]) for ki, ch in zip(slab_ki, pair_chunks)]
+        )
+        library = PosteriorLibrary(
+            lib_pairs, lib_v, lib_i, [r.emb.shape[0] for r in records]
+        )
     t_stage = stage_done("consistency+distances", t_stage)
     tree = build_guide_tree(D, method=args.tree)
     t_stage = stage_done("guide_tree", t_stage)
 
+    scorer = library.score_matrix if library is not None else None
+    if want_library and scorer is None and N >= 2 and pairs:
+        print("[WARN] --dp-score library requested but no library available; "
+              "falling back to profile scoring.")
+    # library-mode progressive DP gap costs: posteriors already price
+    # gaps, so the DP default is 0 (override with --dp-gap-open/-extend)
+    dp_go = args.gap_open if args.dp_gap_open is None else args.dp_gap_open
+    dp_ge = args.gap_extend if args.dp_gap_extend is None else args.dp_gap_extend
+    if scorer is not None:
+        if args.dp_gap_open is None:
+            dp_go = 0.0
+        if args.dp_gap_extend is None:
+            dp_ge = 0.0
+
     profiles = initial_profiles(records)
-    aln = msa_from_tree(tree, profiles, args.gap_open, args.gap_extend,
-                        seq_weight=float(args.seq_weight))
+    aln = msa_from_tree(tree, profiles, dp_go, dp_ge,
+                        seq_weight=float(args.seq_weight), scorer=scorer)
     t_stage = stage_done("progressive_alignment", t_stage)
     refine_stats = None
     if args.refine_iters > 0 and N >= 3:
         print(f"Refining for {args.refine_iters} iteration(s)...")
         aln, refine_stats = iterative_refinement(
             aln, profiles, args.refine_iters, np.random.default_rng(args.seed),
-            args.gap_open, args.gap_extend, seq_weight=float(args.seq_weight),
+            dp_go, dp_ge, seq_weight=float(args.seq_weight), scorer=scorer,
         )
 
     diagnostics: dict[str, Any] = {
@@ -1375,6 +1508,7 @@ def main(argv=None):
         "gap_open": args.gap_open,
         "gap_extend": args.gap_extend,
         "tree_method": args.tree,
+        "dp_score": args.dp_score,
         "refine_iters": args.refine_iters,
         "seed": args.seed,
         "max_pairs": args.max_pairs,

@@ -9,6 +9,26 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Tests run CPU-forced JAX; CPU AOT executables are host-CPU-specific, so
+# the persistent cache must not be shared across machines (stale entries
+# from another host spam cpu_aot_loader machine-feature errors and risk
+# SIGILL).  Key the test cache by the same host fingerprint the
+# multichip dryrun uses.  The TPU-side default cache (utils/jaxinit.py)
+# stays shared — TPU executables do not depend on host CPU features.
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    sys_path_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "_graft_entry_fp", os.path.join(sys_path_root, "__graft_entry__.py")
+    )
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.expanduser("~"), ".cache", "ginfinity_tpu",
+        "xla_cache_cpu_" + _mod._host_fingerprint()
+    )
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
