@@ -335,6 +335,58 @@ def _pair_posteriors_from_embs(embs, lens, ia, ib, alpha, beta, go, ge, pmin,
     return kvals, kidx.astype(jnp.int32), expected
 
 
+_PAIR_POST_SHARDED_CACHE: dict = {}
+
+
+def pair_posteriors_from_embs_sharded(mesh, embs, lens, ia, ib, alpha, beta,
+                                      go, ge, pmin, local: bool, topk: int,
+                                      base_embs=None, has_base=None,
+                                      seq_weight=None, use_base: bool = False):
+    """Mesh variant of :func:`_pair_posteriors_from_embs`: the pair axis
+    (ia/ib) shards over the mesh's 'data' axis, embeddings replicate
+    (they are the small operand — pairs are the O(N^2) scale axis), and
+    the per-pair slabs come back sharded.  Pairs are embarrassingly
+    parallel, so no collectives appear on this path.  The batch size
+    must divide by the mesh size (callers pad with repeats of pair 0)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = (mesh, bool(local), int(topk), bool(use_base))
+    fn = _PAIR_POST_SHARDED_CACHE.get(key)
+    if fn is None:
+        repl = NamedSharding(mesh, P())
+        rows = NamedSharding(mesh, P("data"))
+        if use_base:
+            def impl(embs, lens, ia, ib, alpha, beta, go, ge, pmin,
+                     base_embs, has_base, seq_weight):
+                return _pair_posteriors_from_embs.__wrapped__(
+                    embs, lens, ia, ib, alpha, beta, go, ge, pmin,
+                    local, topk, base_embs, has_base, seq_weight, True,
+                )
+
+            fn = jax.jit(
+                impl,
+                in_shardings=(repl,) * 2 + (rows,) * 2 + (repl,) * 8,
+                out_shardings=(rows, rows, rows),
+            )
+        else:
+            def impl(embs, lens, ia, ib, alpha, beta, go, ge, pmin):
+                return _pair_posteriors_from_embs.__wrapped__(
+                    embs, lens, ia, ib, alpha, beta, go, ge, pmin,
+                    local, topk,
+                )
+
+            fn = jax.jit(
+                impl,
+                in_shardings=(repl,) * 2 + (rows,) * 2 + (repl,) * 5,
+                out_shardings=(rows, rows, rows),
+            )
+        _PAIR_POST_SHARDED_CACHE[key] = fn
+    if use_base:
+        return fn(embs, lens, ia, ib, alpha, beta, go, ge, pmin,
+                  base_embs, has_base, seq_weight)
+    return fn(embs, lens, ia, ib, alpha, beta, go, ge, pmin)
+
+
 @jax.jit
 def _profile_wavefront(S, l1, l2, go, ge):
     B, L1, L2 = S.shape

@@ -38,6 +38,7 @@ def generate_embeddings(
     seq_weight_override: float | None = None,
     sequence_column: str = "sequence",
     precision: str = "highest",
+    mesh=None,
 ):
     final_keep = [id_column]
     if "seq_len" in input_df.columns:
@@ -46,7 +47,8 @@ def generate_embeddings(
         final_keep.extend(keep_cols)
 
     engine = InferenceEngine.from_checkpoint(
-        model_path, precision=precision, max_nodes_per_batch=batch_nodes
+        model_path, precision=precision, max_nodes_per_batch=batch_nodes,
+        mesh=mesh,
     )
     cfg = engine.config
     graph_encoding = (graph_encoding_override or cfg.graph_encoding or "standard").lower()
@@ -114,6 +116,7 @@ def generate_window_embeddings(
     quiet: bool = False,
     precision: str = "highest",
     max_programs: int | None = None,
+    mesh=None,
 ):
     """Fused sliding-window embedding (--window-size): every window of
     every structure is generated AND embedded on device in one pass —
@@ -144,7 +147,7 @@ def generate_window_embeddings(
         ids.append(rid)
     results = embed_corpus_windows(
         model, structures, window_size, keep_paired_neighbors, mask_threshold,
-        max_programs=max_programs,
+        max_programs=max_programs, mesh=mesh,
     )
     rows = []
     for rid, struct, (starts, embs) in zip(ids, structures, results):
@@ -261,6 +264,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "--max-programs 1 trades a few percent of "
                              "padding compute for one load (pairs well "
                              "with ginfinity-prewarm).")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Shard the work over all visible devices "
+                             "(jax.sharding data mesh): stacked batch "
+                             "groups in the file path, window blocks in "
+                             "the fused --window-size path.")
     parser.add_argument("--precision", choices=["f32", "bf16"], default="f32",
                         help="MXU matmul precision. f32 (default) is "
                              "retrieval-identical to the reference; bf16 is "
@@ -301,6 +309,21 @@ def _main_inner(args):
         _embed_precomputed(args)
         return
 
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        if jax.device_count() > 1:
+            from ginfinity_tpu.parallel.mesh import make_data_mesh
+
+            mesh = make_data_mesh()
+            if not args.quiet:
+                print(f"[generate_embeddings] data parallel over "
+                      f"{mesh.devices.size} devices")
+        elif not args.quiet:
+            print("[generate_embeddings] --data-parallel: single device "
+                  "visible; running unsharded")
+
     df, log_path, propagate = setup_and_read_input(args, need_model=True)
     if args.window_size is not None:
         if args.window_size < 2:
@@ -319,6 +342,7 @@ def _main_inner(args):
             quiet=args.quiet,
             precision="highest" if args.precision == "f32" else "bf16",
             max_programs=args.max_programs,
+            mesh=mesh,
         )
         return
     generate_embeddings(
@@ -334,6 +358,7 @@ def _main_inner(args):
         graph_encoding_override=args.graph_encoding,
         seq_weight_override=args.seq_weight,
         precision="highest" if args.precision == "f32" else "bf16",
+        mesh=mesh,
     )
 
 

@@ -552,6 +552,41 @@ def _embed_windows_stacked_jit(config: GINConfig, params, state, feats, pts,
     return out.reshape(w_cap, -1)
 
 
+_SHARDED_STACKED_CACHE: dict = {}
+
+
+def _embed_windows_stacked_sharded(config, params, state, feats, pts, sidx,
+                                   starts, L, keep_paired_neighbors, p_cap,
+                                   b_cap, chunk, mesh):
+    """Mesh variant of :func:`_embed_windows_stacked_jit`: the flat
+    window-descriptor axis shards over the mesh's 'data' axis (structure
+    slabs + params replicated — they are small; windows are the scale
+    axis), each chip maps its chunk slice, outputs concatenate sharded.
+    The descriptor count must divide by ``chunk * mesh size`` (the
+    packer pads to that multiple in mesh mode)."""
+    import jax.numpy as jnp  # noqa: F401  (kept for parity with caller)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    key = (config, L, keep_paired_neighbors, p_cap, b_cap, chunk, mesh)
+    fn = _SHARDED_STACKED_CACHE.get(key)
+    if fn is None:
+        def impl(params, state, feats, pts, sidx, starts):
+            return _embed_windows_stacked_jit.__wrapped__(
+                config, params, state, feats, pts, sidx, starts,
+                L, keep_paired_neighbors, p_cap, b_cap, chunk,
+            )
+
+        repl = NamedSharding(mesh, P())
+        rows = NamedSharding(mesh, P("data"))
+        fn = jax.jit(
+            impl,
+            in_shardings=(repl, repl, repl, repl, rows, rows),
+            out_shardings=rows,
+        )
+        _SHARDED_STACKED_CACHE[key] = fn
+    return fn(params, state, feats, pts, sidx, starts)
+
+
 def _prep_corpus_groups(cfg, structures, L, keep_paired_neighbors,
                         mask_threshold, max_programs=None):
     """Host preprocessing + capacity-ladder grouping shared by the run
@@ -589,8 +624,10 @@ def _prep_corpus_groups(cfg, structures, L, keep_paired_neighbors,
     return per, groups
 
 
-def _pack_group(cfg, per, n_cap, idxs):
-    """Stacked padded arrays + window descriptors for one ladder group."""
+def _pack_group(cfg, per, n_cap, idxs, w_multiple: int | None = None):
+    """Stacked padded arrays + window descriptors for one ladder group.
+    ``w_multiple`` additionally rounds the descriptor count up to that
+    multiple (mesh mode needs chunk * n_devices divisibility)."""
     from ginfinity_tpu.graphs.batching import _round_capacity
 
     s_cap = _round_capacity(len(idxs))
@@ -609,6 +646,8 @@ def _pack_group(cfg, per, n_cap, idxs):
     sidx = np.concatenate(sidx_parts)
     starts_all = np.concatenate(starts_parts)
     w_cap = _round_capacity(sidx.size)
+    if w_multiple:
+        w_cap = -(-w_cap // w_multiple) * w_multiple
     # pad descriptors with (slot 0, start 0): slot 0 is a real
     # structure with n >= L, so the padded windows are valid compute
     # whose results are simply discarded
@@ -621,7 +660,7 @@ def _pack_group(cfg, per, n_cap, idxs):
 
 def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
                          mask_threshold=0.0, parallel_compile=True,
-                         max_programs=None):
+                         max_programs=None, mesh=None):
     """Window embeddings for a corpus.  Returns a list of
     (starts, embeddings) per structure.
 
@@ -645,6 +684,12 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
     serialized on the worker even when compilation itself hits the
     persistent cache), so ``max_programs=1`` trades a few percent of
     padding compute for a single load.
+
+    ``mesh``: shard each group's flat window-descriptor axis over the
+    mesh's 'data' axis (structure slabs + params replicated) — corpus
+    window embedding then scales linearly with chip count; no
+    collectives on the forward path.  Certified against the
+    single-device path in the driver dryrun.
     """
     from ginfinity_tpu.utils.jaxinit import join_backend_warmup, start_backend_warmup
 
@@ -660,6 +705,23 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
 
     # dispatch phase: one async program per group
     def dispatch(n_cap, idxs):
+        if mesh is not None:
+            # windows (the scale axis) shard over the mesh: descriptor
+            # count padded to chunk * n_devices so every chip maps an
+            # equal slice of chunks
+            chunk = 64
+            n_dev = mesh.devices.size
+            feats, pts_p, sidx_p, starts_p, p_cap, b_cap, w_cap = _pack_group(
+                cfg, per, n_cap, idxs, w_multiple=chunk * n_dev
+            )
+            emb = _embed_windows_stacked_sharded(
+                cfg, model.params, model.state,
+                jnp.asarray(feats), jnp.asarray(pts_p),
+                jnp.asarray(sidx_p), jnp.asarray(starts_p),
+                L, keep_paired_neighbors,
+                _cap_ladder(p_cap), _cap_ladder(b_cap), chunk, mesh,
+            )
+            return idxs, emb
         feats, pts_p, sidx_p, starts_p, p_cap, b_cap, w_cap = _pack_group(
             cfg, per, n_cap, idxs
         )

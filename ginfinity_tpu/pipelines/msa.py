@@ -360,7 +360,14 @@ def _pack_sparse_posteriors(post: dict, N: int, Lmax: int, k: int,
     return pairs, Cv, Ci, M
 
 
-def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int):
+def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int,
+                                mesh=None):
+    """One tiled consistency round, jitted.  With ``mesh``, the pair
+    block axis (pa/pb/pvalid and the output slabs) shards over the
+    mesh's 'data' axis while the full slab arrays + slot map replicate —
+    every pair's update reads arbitrary other pairs' slabs, so the
+    read side stays replicated and only the embarrassingly-parallel
+    write side shards (no collectives)."""
     import jax
     import jax.numpy as jnp
 
@@ -415,30 +422,48 @@ def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int):
 
         one_pair_v = jax.vmap(one_pair)
 
-        def tile_compute(t0):
-            ts = t0 + jnp.arange(TP)
-            return one_pair_v(pa[ts], pb[ts], pvalid[ts])
+        def tile_compute(args):
+            ta, tb, tv = args  # [TP] each
+            return one_pair_v(ta, tb, tv)
 
-        # lax.map: stacked outputs, no multi-GB carry to copy per step
+        # lax.map over the (shardable) pair-tile axis: stacked outputs,
+        # no multi-GB carry to copy per step; mapping the reshaped
+        # descriptor arrays directly (rather than an arange + gather)
+        # lets SPMD partition the loop across the mesh
         n_pairs = pa.shape[0]
-        vab, iab = jax.lax.map(tile_compute, jnp.arange(0, n_pairs, TP))
+        vab, iab = jax.lax.map(
+            tile_compute,
+            (pa.reshape(-1, TP), pb.reshape(-1, TP), pvalid.reshape(-1, TP)),
+        )
         # padding pairs (valid = 0) produce all-zero slots — harmless
         return (
             vab.reshape(n_pairs, Lmax, k),
             iab.reshape(n_pairs, Lmax, k),
         )
 
-    return jax.jit(round_fn)
+    if mesh is None:
+        return jax.jit(round_fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        round_fn,
+        in_shardings=(repl, repl, repl, rows, rows, rows, repl, repl),
+        out_shardings=(rows, rows),
+    )
 
 
 def _consistency_rounds_on_slabs(Cv_d, Ci_d, pairs, N, rounds, lam, pmin,
-                                 Lmax, k):
+                                 Lmax, k, mesh=None):
     """Core round loop over device-resident forward slabs [P_pad, Lmax, k]."""
     import jax.numpy as jnp
 
     TC, TP = _TILE_TC, _TILE_TP
     Np = -(-N // TC) * TC
     n_pairs = Cv_d.shape[0]
+    # mesh mode: every block's pair axis must divide by TP * mesh size
+    tile_mult = TP * (mesh.devices.size if mesh is not None else 1)
     M = np.zeros((Np, Np), np.int32)
     pa = np.zeros(n_pairs, np.int32)
     pb = np.zeros(n_pairs, np.int32)
@@ -447,15 +472,20 @@ def _consistency_rounds_on_slabs(Cv_d, Ci_d, pairs, N, rounds, lam, pmin,
         M[a, b] = t + 1
         M[b, a] = -(t + 1)
         pa[t], pb[t], pvalid[t] = a, b, 1.0
-    round_fn = _tiled_consistency_round_fn(Lmax, k, TC, TP)
+    round_fn = _tiled_consistency_round_fn(Lmax, k, TC, TP, mesh=mesh)
     M_d = jnp.asarray(M)
 
     # Bound the per-call program size: one huge lax.map over thousands of
     # pairs crashes the remote TPU worker; blocks of <= _MAX_PAIRS_PER_CALL
     # pairs (all padded to one size -> one compiled program) are robust
     # and equivalent (each round reads only the previous round's slabs).
-    block = _MAX_PAIRS_PER_CALL
+    block = max(tile_mult, _MAX_PAIRS_PER_CALL // tile_mult * tile_mult)
     if n_pairs <= block:
+        if n_pairs % tile_mult:
+            pad = -(-n_pairs // tile_mult) * tile_mult - n_pairs
+            pa = np.concatenate([pa, np.zeros(pad, np.int32)])
+            pb = np.concatenate([pb, np.zeros(pad, np.int32)])
+            pvalid = np.concatenate([pvalid, np.zeros(pad, np.float32)])
         blocks = [(pa, pb, pvalid)]
     else:
         blocks = []
@@ -517,7 +547,7 @@ def _run_consistency_tiled(post, N, rounds, lam, topk, pmin, Lmax):
 def consistency_rounds_to_distances_from_slabs(
     kv_list, ki_list, pair_chunks, N, Lmax, k, rounds,
     lam: float = 0.5, pmin: float = 1e-4,
-    return_slabs: bool = False,
+    return_slabs: bool = False, mesh=None,
 ):
     """Fully device-resident consistency + distances: consumes the
     pairwise stage's per-batch row-top-k slab arrays DIRECTLY (no
@@ -545,7 +575,7 @@ def consistency_rounds_to_distances_from_slabs(
     Ci_d = jnp.concatenate([p.astype(jnp.int32) for p in ki_parts])
     if rounds > 0:
         Cv_d, Ci_d = _consistency_rounds_on_slabs(
-            Cv_d, Ci_d, pairs, N, rounds, lam, pmin, Lmax, k
+            Cv_d, Ci_d, pairs, N, rounds, lam, pmin, Lmax, k, mesh=mesh
         )
     sums = np.asarray(Cv_d.sum(axis=(-1, -2)))
     cnts = np.asarray((Cv_d > 0).sum(axis=(-1, -2)))
@@ -1265,6 +1295,11 @@ def build_parser():
                     help="Pairs per device batch (the anti-diagonal scan "
                          "is latency-bound per step, so bigger batches "
                          "amortize nearly for free; 64 measured best).")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="Shard the pairwise-posterior batches and the "
+                         "consistency pair tiles over all visible devices "
+                         "(jax.sharding data mesh; pairs are "
+                         "embarrassingly parallel, no collectives).")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--plot-diagnostics", action="store_true")
     return ap
@@ -1329,6 +1364,19 @@ def main(argv=None):
         print(f"[{name}] {stage_times[name]}s")
         return time.time()
 
+    mesh = None
+    if getattr(args, "data_parallel", False):
+        import jax
+
+        if jax.device_count() > 1:
+            from ginfinity_tpu.parallel.mesh import make_data_mesh
+
+            mesh = make_data_mesh()
+            print(f"[embed_msa] data parallel over {mesh.devices.size} devices")
+        else:
+            print("[embed_msa] --data-parallel: single device visible; "
+                  "running unsharded")
+
     t_stage = time.time()
     pairs = pairwise_pairs_to_compute(records, args.max_pairs)
     print(f"Computing pairwise posteriors for {len(pairs)} pairs...")
@@ -1380,6 +1428,9 @@ def main(argv=None):
         embs_d = jnp.asarray(embs)
         lens_d = jnp.asarray(lens)
         bs = max(1, int(args.pair_batch))
+        if mesh is not None:  # pair axis shards: pad batches to mesh size
+            n_dev = mesh.devices.size
+            bs = -(-bs // n_dev) * n_dev
         k = min(args.topk, Lcap)
         for s in range(0, len(pairs), bs):
             chunk = pairs[s : s + bs]
@@ -1387,12 +1438,24 @@ def main(argv=None):
             ib = np.zeros(bs, np.int32)
             for t, (a, b) in enumerate(chunk):  # padding reuses pair 0
                 ia[t], ib[t] = a, b
-            kv, ki, ex = _pair_posteriors_from_embs(
-                embs_d, lens_d, jnp.asarray(ia), jnp.asarray(ib),
-                jnp.float32(alpha), jnp.float32(beta),
-                jnp.float32(args.gap_open), jnp.float32(args.gap_extend),
-                jnp.float32(1e-4), args.use_local, k, **base_kw,
-            )
+            if mesh is not None:
+                from ginfinity_tpu.ops.pairhmm import (
+                    pair_posteriors_from_embs_sharded,
+                )
+
+                kv, ki, ex = pair_posteriors_from_embs_sharded(
+                    mesh, embs_d, lens_d, jnp.asarray(ia), jnp.asarray(ib),
+                    jnp.float32(alpha), jnp.float32(beta),
+                    jnp.float32(args.gap_open), jnp.float32(args.gap_extend),
+                    jnp.float32(1e-4), args.use_local, k, **base_kw,
+                )
+            else:
+                kv, ki, ex = _pair_posteriors_from_embs(
+                    embs_d, lens_d, jnp.asarray(ia), jnp.asarray(ib),
+                    jnp.float32(alpha), jnp.float32(beta),
+                    jnp.float32(args.gap_open), jnp.float32(args.gap_extend),
+                    jnp.float32(1e-4), args.use_local, k, **base_kw,
+                )
             # posteriors STAY on device as row-top-k slabs — the
             # consistency transform consumes them directly (the old dict
             # round-trip moved ~1.7 GB over the host link at scale)
@@ -1436,7 +1499,7 @@ def main(argv=None):
         out = consistency_rounds_to_distances_from_slabs(
             slab_kv, slab_ki, pair_chunks, N, Lcap_used, slab_kv[0].shape[2],
             args.consistency_rounds, lam=0.5, pmin=1e-4,
-            return_slabs=want_library,
+            return_slabs=want_library, mesh=mesh,
         )
         if want_library:
             D, lib_pairs, lib_v, lib_i = out

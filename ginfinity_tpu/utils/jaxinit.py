@@ -14,6 +14,10 @@ import os
 def init_jax_defaults() -> None:
     import jax
 
+    if os.environ.get("GINFINITY_NO_XLA_CACHE") == "1":
+        # opt-out (the multichip dryrun uses it: CPU AOT cache entries
+        # are host-specific and warn/SIGILL on reload)
+        return
     if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "ginfinity_tpu", "xla_cache"

@@ -35,6 +35,62 @@ class TestShardedInference:
         np.testing.assert_allclose(e1, e2, atol=1e-5)
 
 
+class TestShardedFusedWindows:
+    def test_matches_single_device(self):
+        from ginfinity_tpu.models.checkpoint import import_torch_checkpoint
+        from ginfinity_tpu.models.gine import GINModel
+        from ginfinity_tpu.parallel.mesh import make_data_mesh
+        from ginfinity_tpu.pipelines.fast_windows import embed_corpus_windows
+
+        cfg, params, state, _ = import_torch_checkpoint(CKPT)
+        model = GINModel(cfg, params, state)
+        structs = (
+            pd.read_csv(SAMPLE)["secondary_structure"].astype(str).head(6).tolist()
+        )
+        base = embed_corpus_windows(model, structs, 100, True)
+        shard = embed_corpus_windows(
+            model, structs, 100, True, mesh=make_data_mesh()
+        )
+        assert sum(s.size for s, _ in base) > 500
+        for (s0, e0), (s1, e1) in zip(base, shard):
+            np.testing.assert_array_equal(s0, s1)
+            np.testing.assert_allclose(e0, e1, atol=1e-5)
+
+
+class TestShardedMsa:
+    @pytest.mark.parametrize("dp_score", ["profile", "library"])
+    def test_cli_matches_single_device(self, tmp_path, dp_score):
+        """--data-parallel must reproduce the single-device alignment
+        exactly: the pairwise posterior batches and the consistency pair
+        tiles shard over the mesh with no semantic change."""
+        import contextlib
+        import io
+        import json
+
+        from ginfinity_tpu.pipelines.msa import main as msa_main
+
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=(60, 16)).astype(np.float32)
+        rows = []
+        for k in range(8):
+            Lk = int(rng.integers(45, 61))
+            emb = base[:Lk] + 0.15 * rng.normal(size=(Lk, 16)).astype(np.float32)
+            rows.append(
+                {"Name": f"s{k}", "node_embeddings": json.dumps(emb.round(5).tolist())}
+            )
+        inp = tmp_path / "in.tsv"
+        pd.DataFrame(rows).to_csv(inp, sep="\t", index=False)
+        with contextlib.redirect_stdout(io.StringIO()):
+            msa_main(["--input", str(inp), "--out-prefix", str(tmp_path / "s" / "msa"),
+                      "--alpha", "5", "--beta", "0", "--dp-score", dp_score])
+            msa_main(["--input", str(inp), "--out-prefix", str(tmp_path / "m" / "msa"),
+                      "--alpha", "5", "--beta", "0", "--dp-score", dp_score,
+                      "--data-parallel"])
+        a = pd.read_csv(tmp_path / "s" / "msa.aln.tsv", sep="\t")
+        b = pd.read_csv(tmp_path / "m" / "msa.aln.tsv", sep="\t")
+        assert list(a["Aligned"]) == list(b["Aligned"])
+
+
 class TestShardedTraining:
     def test_dryrun_multichip(self):
         import sys
