@@ -274,6 +274,27 @@ def measure_msa_quality(families=2, n_seqs=5, anc_len=120):
     return out
 
 
+def measure_trained_model_eval():
+    """Train the packaged architecture through the real schedule path on
+    known-homology families (scaled budget: the full METHODS.MD run and
+    its numbers live in BASELINE.md) and evaluate trained vs packaged
+    weights on held-out retrieval recall@10 + pairwise-alignment SP-F1."""
+    import contextlib
+    import tempfile
+
+    from ginfinity_tpu.pipelines.train_eval import compare_trained_vs_packaged
+
+    scaled = [
+        {"lr": 5e-4, "decay_rate": 0.98, "patience": 5, "num_epochs": 20},
+        {"lr": 1e-4, "decay_rate": 0.95, "patience": 5, "num_epochs": 20},
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        with contextlib.redirect_stdout(sys.stderr):
+            return compare_trained_vs_packaged(
+                td, rounds=scaled, n_train_families=40, n_eval_families=12
+            )
+
+
 def main():
     import pandas as pd
     import torch
@@ -312,7 +333,8 @@ def main():
     extra = {}
     for name, fn in (("search", measure_search_quick), ("train", measure_train_step),
                      ("msa", measure_msa_quick),
-                     ("msa_quality_vs_reference", measure_msa_quality)):
+                     ("msa_quality_vs_reference", measure_msa_quality),
+                     ("trained_model_eval", measure_trained_model_eval)):
         try:
             extra[name] = fn()
         except Exception as exc:  # pragma: no cover
