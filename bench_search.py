@@ -102,7 +102,7 @@ def build_real_embeddings(n_rows: int, n_queries: int) -> tuple[np.ndarray, np.n
     return emb[:n_rows], emb[n_rows:need]
 
 
-def run_one(corpus, queries, k, storage, precision, label):
+def run_one(corpus, queries, k, storage, precision, label, rescore="device", query_block=1024):
     from ginfinity_tpu.parallel.search import (
         TopKSearcher,
         brute_force_topk,
@@ -111,11 +111,11 @@ def run_one(corpus, queries, k, storage, precision, label):
 
     t0 = time.perf_counter()
     searcher = TopKSearcher(
-        corpus, metric="sqeuclidean", query_block=1024,
-        storage=storage, precision=precision,
+        corpus, metric="sqeuclidean", query_block=query_block,
+        storage=storage, precision=precision, rescore=rescore,
     )
     build_s = time.perf_counter() - t0
-    searcher.search(queries[:1024], k)  # warm-up/compile
+    searcher.search(queries[:query_block], k)  # warm-up/compile
     t0 = time.perf_counter()
     dists, ids = searcher.search(queries, k)
     dt = time.perf_counter() - t0
@@ -166,6 +166,7 @@ def run_one(corpus, queries, k, storage, precision, label):
         "k": k,
         "storage": storage,
         "precision": precision,
+        "rescore": rescore,
         "recall_at_k_vs_brute_force": round(float(recall), 5),
         "recall_at_k_distance_based": round(recall_dist, 5),
         "topk_queries_per_sec": round(qps, 1),
@@ -182,9 +183,14 @@ def main():
     ap.add_argument("--n", type=int, default=200_000, help="corpus rows")
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--queries", type=int, default=2048)
+    ap.add_argument("--query-block", type=int, default=1024)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--corpus", choices=["synthetic", "real"], default="synthetic")
     ap.add_argument("--storage", choices=["f32", "bf16", "int8"], default="f32")
+    ap.add_argument("--rescore", choices=["device", "host"], default="device",
+                    help="Compressed-mode candidate re-score: on-device "
+                         "(int8 keeps a residual plane; no host corpus) or "
+                         "the host-exact f32 path.")
     ap.add_argument("--precision", choices=["highest", "bf16"], default="highest")
     ap.add_argument("--label", default=None)
     args = ap.parse_args()
@@ -199,8 +205,9 @@ def main():
             size=(args.queries, args.dim)
         ).astype(np.float32)
 
-    label = args.label or f"{args.corpus}-{args.storage}-{args.precision}"
-    row = run_one(corpus, queries, args.k, args.storage, args.precision, label)
+    label = args.label or f"{args.corpus}-{args.storage}-{args.precision}-{args.rescore}"
+    row = run_one(corpus, queries, args.k, args.storage, args.precision, label,
+                  rescore=args.rescore, query_block=args.query_block)
 
     out_f = os.path.join(REPO, "BENCH_SEARCH.json")
     rows = []

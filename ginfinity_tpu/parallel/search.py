@@ -28,6 +28,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ginfinity_tpu.parallel.mesh import make_data_mesh
 
 _NEG = -3.0e38
+# max candidates per query fed to the compressed-mode device re-score
+# ([cap, D] f32 rows gathered per query — 1.07 GB per 1024-query block)
+_RESCORE_CAND_CAP = 2048
 
 
 def _pad_rows(x: np.ndarray, multiple: int) -> np.ndarray:
@@ -58,6 +61,16 @@ class TopKSearcher:
         retained f32 corpus — recall loss only occurs when a true
         top-k row falls outside the over-fetched candidate set.
     overfetch : candidate multiplier for compressed storage (default 4).
+    rescore : where compressed-mode candidates are re-scored —
+        'device' (default): a second shard_map stage gathers candidate
+            rows from the resident corpus, refines scores in f32, and
+            psum-merges over the mesh — no host corpus, no host compute.
+            int8 additionally keeps an int8 RESIDUAL plane (2 bytes/elem
+            total, still half of f32) so the refined scores carry
+            ~int16 precision.
+        'host': the round-3 behaviour — exact f32 re-score on the host
+            against a retained full-precision copy (exact ranking within
+            the candidate set, but host-gather-bound: ~1.5-2k q/s at 1M).
     """
 
     def __init__(
@@ -69,6 +82,7 @@ class TopKSearcher:
         precision: str = "highest",
         storage: str = "f32",
         overfetch: int = 4,
+        rescore: str = "device",
     ):
         if metric not in ("sqeuclidean", "cosine", "dot"):
             raise ValueError(f"unknown metric {metric!r}")
@@ -76,10 +90,13 @@ class TopKSearcher:
             raise ValueError(f"precision must be 'highest' or 'bf16', got {precision!r}")
         if storage not in ("f32", "bf16", "int8"):
             raise ValueError(f"storage must be 'f32'|'bf16'|'int8', got {storage!r}")
+        if rescore not in ("device", "host"):
+            raise ValueError(f"rescore must be 'device'|'host', got {rescore!r}")
         self.metric = metric
         self.precision = precision
         self.storage = storage
         self.overfetch = max(1, int(overfetch))
+        self.rescore = rescore
         self.mesh = mesh or make_data_mesh()
         self.n = corpus.shape[0]
         self.dim = corpus.shape[1]
@@ -91,8 +108,10 @@ class TopKSearcher:
             corpus = corpus / np.maximum(
                 np.linalg.norm(corpus, axis=1, keepdims=True), 1e-12
             )
-        # Exact rows stay on host for the compressed-mode re-score.
-        self._host_corpus = corpus if storage != "f32" else None
+        # Exact rows stay on host only for the host re-score mode.
+        self._host_corpus = (
+            corpus if (storage != "f32" and rescore == "host") else None
+        )
         # Each shard scans its rows in tiles of `corpus_tile`, keeping a
         # running top-k, so the [Q, rows_local] score matrix is never
         # materialized (16 GB of HBM traffic per 4k queries at 1M rows).
@@ -103,6 +122,8 @@ class TopKSearcher:
         valid[: self.n] = 1.0
 
         sh = NamedSharding(self.mesh, P("data"))
+        self._resid = None
+        self._scale2 = None
         if storage == "bf16":
             self._corpus = jax.device_put(jnp.asarray(padded, jnp.bfloat16), sh)
             self._scale = None
@@ -112,6 +133,16 @@ class TopKSearcher:
             q = np.clip(np.rint(padded / s[:, None]), -127, 127).astype(np.int8)
             self._corpus = jax.device_put(jnp.asarray(q), sh)
             self._scale = jax.device_put(jnp.asarray(s), sh)
+            if rescore == "device":
+                # int8 residual plane: quantize the rounding error so
+                # device re-score reconstructs rows to ~int16 precision
+                # (2 bytes/elem total — still half of f32 residency)
+                err = padded - q.astype(np.float32) * s[:, None]
+                s2 = np.maximum(np.max(np.abs(err), axis=1) / 127.0, 1e-12)
+                s2 = s2.astype(np.float32)
+                q2 = np.clip(np.rint(err / s2[:, None]), -127, 127).astype(np.int8)
+                self._resid = jax.device_put(jnp.asarray(q2), sh)
+                self._scale2 = jax.device_put(jnp.asarray(s2), sh)
         else:
             self._corpus = jax.device_put(jnp.asarray(padded), sh)
             self._scale = None
@@ -260,7 +291,119 @@ class TopKSearcher:
             # all_gather; replication can't be statically inferred
             check_vma=False,
         )
-        return jax.jit(fn)
+        if storage == "f32" or self.rescore == "host":
+            return jax.jit(fn)
+
+        # Fused scan + local re-score for compressed storage: the scan
+        # emits per-tile top-k candidates at the BASE k (the same cheap
+        # per-tile top_k the f32 path runs — the round-3 over-fetched
+        # per-tile top_k at overfetch*k was the throughput killer), then
+        # each shard gathers ALL its emitted candidate rows from its own
+        # corpus slice (n_tiles * k_tile rows/query — an HBM gather that
+        # costs ~1 ms, candidate coverage ~32x wider than the old
+        # overfetch*k), refines the scores in f32 (int8 adds the
+        # residual plane back for ~int16-accurate rows), and local-top-ks
+        # before the usual all_gather merge.  No host corpus, no psum.
+        k_tile = min(max(k_base, self.overfetch * k_base // 4), tile)
+
+        def shard_search_rescore(corpus, scale, scale2, resid, valid,
+                                 sqnorm, queries):
+            q = queries.shape[0]
+            shard_base = jax.lax.axis_index("data") * shard_rows
+
+            if storage == "bf16":
+                q_mat = queries.astype(jnp.bfloat16)
+            else:
+                q_scale = jnp.maximum(
+                    jnp.max(jnp.abs(queries), axis=1) / 127.0, 1e-12
+                )
+                q_mat = jnp.clip(
+                    jnp.round(queries / q_scale[:, None]), -127, 127
+                ).astype(jnp.int8)
+
+            def tile_step(carry, xs):
+                c_t, sc_t, v_t, s_t, base = xs
+                if storage == "int8":
+                    dots = jax.lax.dot_general(
+                        q_mat, c_t,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    scores = (
+                        dots.astype(jnp.float32)
+                        * q_scale[:, None]
+                        * sc_t[None, :]
+                    )
+                else:
+                    scores = jax.lax.dot_general(
+                        q_mat, c_t,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                if metric == "sqeuclidean":
+                    scores = 2.0 * scores - s_t[None, :]
+                scores = jnp.where(v_t[None, :] > 0, scores, _NEG)
+                tv, ti = jax.lax.top_k(scores, k_tile)
+                return carry, (tv, ti + base)  # LOCAL row ids
+
+            bases = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+            scale_tiles = scale.reshape(n_tiles, tile)
+            xs = (
+                corpus.reshape(n_tiles, tile, -1),
+                scale_tiles,
+                valid.reshape(n_tiles, tile),
+                sqnorm.reshape(n_tiles, tile),
+                bases,
+            )
+            _, (cv, ci) = jax.lax.scan(tile_step, 0, xs)
+            ci = jnp.transpose(ci, (1, 0, 2)).reshape(q, n_tiles * k_tile)
+            cv = jnp.transpose(cv, (1, 0, 2)).reshape(q, n_tiles * k_tile)
+            # bound the re-score working set: the [Q, C, D] f32 gather
+            # grows with the tile count (24k candidates/query OOMed HBM
+            # at 20M rows on one chip) — preselect by quantized score
+            # when the per-tile union exceeds the cap
+            if n_tiles * k_tile > _RESCORE_CAND_CAP:
+                cv, sel = jax.lax.top_k(cv, _RESCORE_CAND_CAP)
+                ci = jnp.take_along_axis(ci, sel, axis=1)
+
+            # local exact(ish) re-score of every candidate
+            rows = corpus[ci]  # [Q, C, D] local gather
+            if storage == "int8":
+                x = rows.astype(jnp.float32) * scale[ci][..., None]
+                x = x + resid[ci].astype(jnp.float32) * scale2[ci][..., None]
+            else:
+                x = rows.astype(jnp.float32)
+            if metric == "sqeuclidean":
+                d = x - queries[:, None, :]
+                refined = -jnp.sum(d * d, axis=-1)
+            else:
+                refined = jnp.einsum(
+                    "qd,qcd->qc", queries, x,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            refined = jnp.where(cv > _NEG / 2, refined, _NEG)  # padding rows
+            local_k = min(k_base, shard_rows)
+            v, sel = jax.lax.top_k(refined, local_k)
+            gids = jnp.take_along_axis(ci, sel, axis=1) + shard_base
+
+            vs = jax.lax.all_gather(v, "data")
+            gs = jax.lax.all_gather(gids, "data")
+            vs = jnp.transpose(vs, (1, 0, 2)).reshape(q, n_dev * local_k)
+            gs = jnp.transpose(gs, (1, 0, 2)).reshape(q, n_dev * local_k)
+            fv, fi = jax.lax.top_k(vs, k_base)
+            fg = jnp.take_along_axis(gs, fi, axis=1)
+            return fv, fg
+
+        fused = jax.shard_map(
+            shard_search_rescore,
+            mesh=mesh,
+            in_specs=(P("data", None), P("data"), P("data"),
+                      P("data", None), P("data"), P("data"), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fused)
 
     def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         """Return (scores [Q, k], indices [Q, k]) of the top-k corpus rows
@@ -284,19 +427,33 @@ class TopKSearcher:
         q_sq = np.sum(queries * queries, axis=1)
 
         scale = self._scale if self._scale is not None else self._valid
+        dev_rescore = self.storage != "f32" and self.rescore == "device"
+        out_k = k if (self.storage == "f32" or dev_rescore) else k_dev
         nq = queries.shape[0]
-        out_v = np.empty((nq, k_dev), np.float32)
-        out_i = np.empty((nq, k_dev), np.int64)
+        out_v = np.empty((nq, out_k), np.float32)
+        out_i = np.empty((nq, out_k), np.int64)
         block = self.query_block
         for s in range(0, nq, block):
             q = queries[s : s + block]
             pad = block - q.shape[0]
             if pad:
                 q = np.concatenate([q, np.zeros((pad, self.dim), np.float32)])
-            v, g = fn(self._corpus, scale, self._valid, self._sqnorm, jnp.asarray(q))
+            if dev_rescore:
+                # dummies for the unused planes keep one call signature
+                scale2 = self._scale2 if self._scale2 is not None else self._valid
+                resid = self._resid if self._resid is not None else self._corpus
+                v, g = fn(self._corpus, scale, scale2, resid,
+                          self._valid, self._sqnorm, jnp.asarray(q))
+            else:
+                v, g = fn(self._corpus, scale, self._valid, self._sqnorm,
+                          jnp.asarray(q))
             out_v[s : s + block] = np.asarray(v)[: block - pad]
             out_i[s : s + block] = np.asarray(g)[: block - pad]
 
+        if dev_rescore:
+            if self.metric == "sqeuclidean":
+                out_v = -out_v  # refined score was -distance
+            return out_v, out_i
         if self.storage != "f32":
             return self._rescore_exact(queries, out_i, k)
         if self.metric == "sqeuclidean":

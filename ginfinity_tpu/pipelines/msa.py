@@ -454,6 +454,116 @@ def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int,
     )
 
 
+def _memo_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int,
+                               n_slabs: int, mesh=None):
+    """One consistency round with MEMOIZED densification.
+
+    The tiled round re-densified each operand slab for every (a, b, C)
+    triple — 2 * P * N scatter-built [L, L] scratch blocks per round,
+    and those scatters (not the MXU einsum, ~2% of the time) dominated
+    the consistency stage.  Here every present pair densifies ONCE per
+    round into a [2P+1, L, L] block array (forward + exact transpose +
+    a zero block for absent slots) — ~1.2 GB at the 200-seq/L=320
+    scale, affordable precisely because only PRESENT pairs are stored
+    (the round-2 dense path's [N, N, L, L] stack was 28.8 GB) — and the
+    triple product just gathers dense blocks.  Semantics identical to
+    the tiled round (same einsum, same re-sparsify).
+
+    Callers pick this variant when the block array fits the memory
+    budget (``_memo_consistency_bytes``), else fall back to the tiled
+    round."""
+    import jax
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    rows = jnp.broadcast_to(jnp.arange(Lmax)[:, None], (Lmax, k))
+
+    def round_fn(Cv, Ci, M, pa, pb, pvalid, lam, pmin):
+        Np = M.shape[0]
+        c0s = jnp.arange(0, Np, TC)
+
+        def densify(v, i):
+            return jnp.zeros((Lmax, Lmax), f32).at[rows, i].add(v)
+
+        Pd_f = jax.vmap(densify)(Cv[:n_slabs], Ci[:n_slabs])
+        Pd = jnp.concatenate([
+            jnp.zeros((1, Lmax, Lmax), f32),      # absent slot -> 0
+            Pd_f,                                  # slot +t -> index t
+            jnp.transpose(Pd_f, (0, 2, 1)),        # slot -t -> index P+t
+        ])
+
+        def slot_idx(slot):
+            return jnp.where(slot >= 0, slot, n_slabs - slot)
+
+        def one_pair(a, b, valid):
+            Pab = Pd[slot_idx(M[a, b])]
+
+            def cstep(carry, c0):
+                acc, cnt = carry
+                cs = c0 + jnp.arange(TC)
+                sac, scb = M[a, cs], M[cs, b]
+                m = ((sac != 0) & (scb != 0)).astype(f32)
+                A = Pd[slot_idx(sac)] * m[:, None, None]
+                B = Pd[slot_idx(scb)]
+                acc = acc + jnp.einsum(
+                    "cik,ckj->ij", A, B,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=f32,
+                )
+                return (acc, cnt + m.sum()), None
+
+            (acc, cnt), _ = jax.lax.scan(
+                cstep, (jnp.zeros((Lmax, Lmax), f32), jnp.float32(0.0)), c0s
+            )
+            newP = (1.0 - lam) * Pab + lam * acc / jnp.maximum(cnt, 1.0)
+            row_kth = jax.lax.top_k(newP, k)[0][:, -1:]
+            col_kth = jax.lax.top_k(newP.T, k)[0][:, -1:]
+            keep = (newP >= row_kth) & (newP >= col_kth.T) & (newP >= pmin)
+            masked = jnp.where(keep, newP, 0.0) * valid
+            vab, iab = jax.lax.top_k(masked, k)
+            return vab, iab.astype(jnp.int32)
+
+        one_pair_v = jax.vmap(one_pair)
+
+        def tile_compute(args):
+            ta, tb, tv = args
+            return one_pair_v(ta, tb, tv)
+
+        n_pairs = pa.shape[0]
+        vab, iab = jax.lax.map(
+            tile_compute,
+            (pa.reshape(-1, TP), pb.reshape(-1, TP), pvalid.reshape(-1, TP)),
+        )
+        return (
+            vab.reshape(n_pairs, Lmax, k),
+            iab.reshape(n_pairs, Lmax, k),
+        )
+
+    if mesh is None:
+        return jax.jit(round_fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    rows_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        round_fn,
+        in_shardings=(repl, repl, repl, rows_sh, rows_sh, rows_sh, repl, repl),
+        out_shardings=(rows_sh, rows_sh),
+    )
+
+
+def _memo_consistency_bytes(n_slabs: int, Lmax: int) -> int:
+    return (2 * n_slabs + 1) * Lmax * Lmax * 4
+
+
+# The memoized round keeps a [2P+1, L, L] f32 block array resident;
+# above this budget fall back to the tiled round (override via env for
+# bigger-HBM parts).
+_MEMO_BUDGET_BYTES = int(
+    os.environ.get("GINFINITY_MSA_DENSE_BUDGET_MB", "6144")
+) << 20
+
+
 def _consistency_rounds_on_slabs(Cv_d, Ci_d, pairs, N, rounds, lam, pmin,
                                  Lmax, k, mesh=None):
     """Core round loop over device-resident forward slabs [P_pad, Lmax, k]."""
@@ -472,7 +582,12 @@ def _consistency_rounds_on_slabs(Cv_d, Ci_d, pairs, N, rounds, lam, pmin,
         M[a, b] = t + 1
         M[b, a] = -(t + 1)
         pa[t], pb[t], pvalid[t] = a, b, 1.0
-    round_fn = _tiled_consistency_round_fn(Lmax, k, TC, TP, mesh=mesh)
+    if _memo_consistency_bytes(n_pairs, Lmax) <= _MEMO_BUDGET_BYTES:
+        round_fn = _memo_consistency_round_fn(
+            Lmax, k, TC, TP, Cv_d.shape[0], mesh=mesh
+        )
+    else:
+        round_fn = _tiled_consistency_round_fn(Lmax, k, TC, TP, mesh=mesh)
     M_d = jnp.asarray(M)
 
     # Bound the per-call program size: one huge lax.map over thousands of
@@ -506,8 +621,13 @@ def _consistency_rounds_on_slabs(Cv_d, Ci_d, pairs, N, rounds, lam, pmin,
             round_fn(Cv_d, Ci_d, M_d, ba, bb, bv, lam_d, pmin_d)
             for ba, bb, bv in blocks
         ]
+        # keep the slab count stable across rounds: mesh padding may
+        # make the descriptor arrays (and thus outputs) longer than the
+        # slab arrays; tail rows are zero-valid padding either way
         if len(outs) == 1:
             Cv_d, Ci_d = outs[0]
+            if Cv_d.shape[0] != n_pairs:
+                Cv_d, Ci_d = Cv_d[:n_pairs], Ci_d[:n_pairs]
         else:
             Cv_d = jnp.concatenate([o[0] for o in outs])[:n_pairs]
             Ci_d = jnp.concatenate([o[1] for o in outs])[:n_pairs]

@@ -233,7 +233,6 @@ def _pos_to_col(aligned: str) -> np.ndarray:
 def sp_scores(msa: dict[str, str], members: list[FamilyMember]) -> dict:
     """Sum-of-pairs recall/precision/F1 + reference-style column
     agreement of an alignment against the known ancestor homology."""
-    by_name = {m.name: m for m in members}
     n_true = n_pred = n_hit = 0
     for ai in range(len(members)):
         for bi in range(ai + 1, len(members)):
@@ -267,7 +266,6 @@ def sp_scores(msa: dict[str, str], members: list[FamilyMember]) -> dict:
         if (precision + recall) > 0
         else 0.0
     )
-    _ = by_name
     return {
         "sp_recall": recall,
         "sp_precision": precision,

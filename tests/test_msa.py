@@ -218,6 +218,28 @@ class TestConsistency:
         for key in want:
             np.testing.assert_allclose(got[key], want[key], atol=1e-6)
 
+    def test_memoized_round_equals_tiled_round(self, monkeypatch):
+        """The memoized-densification round (one [2P+1, L, L] block array
+        per round instead of per-triple scatter scratch) must reproduce
+        the tiled round exactly."""
+        import ginfinity_tpu.pipelines.msa as msa_mod
+
+        rng = np.random.default_rng(21)
+        lengths = [14, 19, 16, 22, 17, 15, 20]
+        N, Lmax = len(lengths), max(lengths)
+        post = _random_sparse_posteriors(rng, lengths, topk=4)
+        budget = msa_mod._sparse_bytes(len(post), Lmax, 4)
+        memo = msa_mod.run_consistency_rounds(
+            post, N, 2, 0.5, 4, 1e-4, hbm_budget_bytes=budget
+        )
+        monkeypatch.setattr(msa_mod, "_MEMO_BUDGET_BYTES", 0)  # force tiled
+        tiled = msa_mod.run_consistency_rounds(
+            post, N, 2, 0.5, 4, 1e-4, hbm_budget_bytes=budget
+        )
+        assert set(memo) == set(tiled)
+        for key in tiled:
+            np.testing.assert_allclose(memo[key], tiled[key], atol=2e-6)
+
     def test_from_slabs_equals_dict_path(self):
         """The device-resident entry (pairwise slabs -> consistency ->
         distances, no dict round-trip) must equal the dict-based path."""

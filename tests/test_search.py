@@ -46,31 +46,64 @@ class TestTopKSearcher:
 
     @pytest.mark.parametrize("storage", ["bf16", "int8"])
     @pytest.mark.parametrize("metric", ["sqeuclidean", "cosine", "dot"])
-    def test_compressed_storage_recall(self, data, storage, metric):
+    def test_compressed_storage_host_rescore_exact(self, data, storage, metric):
         """Compressed HBM residency + exact f32 host re-score: recall
         stays 1.0 on this well-separated corpus, and the returned scores
         are exact (computed from the retained f32 rows)."""
         corpus, queries = data
         s = TopKSearcher(
-            corpus, metric=metric, query_block=64, storage=storage
+            corpus, metric=metric, query_block=64, storage=storage,
+            rescore="host",
         )
         v, i = s.search(queries, k=10)
         tv, ti = brute_force_topk(corpus, queries, 10, metric=metric)
         assert recall_at_k(i, ti) == 1.0
         np.testing.assert_allclose(np.sort(v, 1), np.sort(tv, 1), rtol=1e-4, atol=1e-4)
 
+    @pytest.mark.parametrize("metric", ["sqeuclidean", "cosine", "dot"])
+    def test_int8_device_rescore_recall(self, data, metric):
+        """Default device re-score: the int8 residual plane makes
+        refined scores ~int16-accurate — recall 1.0 with NO host corpus
+        and no host compute."""
+        corpus, queries = data
+        s = TopKSearcher(corpus, metric=metric, query_block=64, storage="int8")
+        assert s._host_corpus is None
+        v, i = s.search(queries, k=10)
+        tv, ti = brute_force_topk(corpus, queries, 10, metric=metric)
+        assert recall_at_k(i, ti) == 1.0
+        np.testing.assert_allclose(np.sort(v, 1), np.sort(tv, 1), rtol=1e-3, atol=1e-2)
+
+    def test_bf16_device_rescore_recall(self, data):
+        """bf16 residency with device re-score: rows reconstruct at bf16
+        precision, so recall may drop slightly below the host-exact
+        path but must stay near 1.0."""
+        corpus, queries = data
+        s = TopKSearcher(corpus, query_block=64, storage="bf16")
+        _, i = s.search(queries, k=10)
+        _, ti = brute_force_topk(corpus, queries, 10)
+        assert recall_at_k(i, ti) >= 0.99
+
     def test_compressed_scores_are_exact_distances(self, data):
         corpus, queries = data
-        s = TopKSearcher(corpus, query_block=64, storage="int8")
+        s = TopKSearcher(corpus, query_block=64, storage="int8", rescore="host")
         v, i = s.search(queries[:4], k=5)
         for q in range(4):
             d = np.sum((corpus[i[q]] - queries[q]) ** 2, axis=1)
             np.testing.assert_allclose(v[q], d, rtol=1e-5, atol=1e-6)
 
-    def test_compressed_uneven_padding(self):
+    def test_int8_device_rescore_distances_near_exact(self, data):
+        corpus, queries = data
+        s = TopKSearcher(corpus, query_block=64, storage="int8")
+        v, i = s.search(queries[:4], k=5)
+        for q in range(4):
+            d = np.sum((corpus[i[q]] - queries[q]) ** 2, axis=1)
+            np.testing.assert_allclose(v[q], d, rtol=1e-3, atol=1e-2)
+
+    @pytest.mark.parametrize("rescore", ["device", "host"])
+    def test_compressed_uneven_padding(self, rescore):
         rng = np.random.default_rng(2)
         corpus = rng.normal(size=(13, 16)).astype(np.float32)
-        s = TopKSearcher(corpus, query_block=4, storage="bf16")
+        s = TopKSearcher(corpus, query_block=4, storage="bf16", rescore=rescore)
         v, i = s.search(corpus, k=13)
         assert i.max() < 13
         for q in range(13):
