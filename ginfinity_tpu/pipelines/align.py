@@ -241,6 +241,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from ginfinity_tpu.utils.jaxinit import start_backend_warmup
+
+    start_backend_warmup()  # overlap remote-TPU bring-up with input parsing
     args = build_parser().parse_args(argv)
     if not (0.0 <= float(args.seq_weight) <= 1.0):
         raise ValueError("--seq-weight must be in [0,1].")

@@ -63,6 +63,9 @@ def _write_pair_outputs(args, id1, id2, s1, s2, sim, best_score, path):
 
 
 def main(argv=None):
+    from ginfinity_tpu.utils.jaxinit import start_backend_warmup
+
+    start_backend_warmup()  # overlap remote-TPU bring-up with input parsing
     parser = argparse.ArgumentParser(
         description="All-vs-all alignment of node embeddings (batched wavefront DP)."
     )

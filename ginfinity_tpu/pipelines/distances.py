@@ -62,6 +62,9 @@ def all_pairs_indices(n: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def main(argv=None):
+    from ginfinity_tpu.utils.jaxinit import start_backend_warmup
+
+    start_backend_warmup()  # overlap remote-TPU bring-up with input parsing
     parser = argparse.ArgumentParser(
         description="Compute squared Euclidean distances between rows' embedding vectors."
     )

@@ -132,6 +132,14 @@ def generate_window_embeddings(
     cfg, params, state, _ = load_checkpoint(model_path)
     if precision != "highest":
         cfg = cfg.with_precision(precision)
+        if not quiet:
+            # measured quality tail (BASELINE.md): per-window cosine vs
+            # f32 mean 0.9997 but min 0.951 — fine for scanning, not for
+            # retrieval-critical corpora
+            print("[generate_window_embeddings] bf16 speed mode: "
+                  "per-window agreement vs f32 has a tail (min cosine "
+                  "~0.95 measured); use the default f32 when exact "
+                  "retrieval parity matters.")
     model = GINModel(cfg, params, state)
 
     from ginfinity_tpu.graphs.dotbracket import pair_table

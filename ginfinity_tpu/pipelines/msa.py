@@ -1426,6 +1426,12 @@ def build_parser():
 
 
 def main(argv=None):
+    from ginfinity_tpu.utils.jaxinit import start_backend_warmup
+
+    # remote-TPU session bring-up overlaps the (large) embedding-TSV
+    # parse; without this the first posterior batch eats the bring-up
+    # and can degrade ~100x (BASELINE.md cold-start section)
+    start_backend_warmup()
 
     args = build_parser().parse_args(argv)
     random.seed(args.seed)
@@ -1517,6 +1523,12 @@ def main(argv=None):
 
         from ginfinity_tpu.graphs.batching import _round_capacity
         from ginfinity_tpu.ops.pairhmm import _pair_posteriors_from_embs
+        from ginfinity_tpu.utils.jaxinit import join_backend_warmup
+
+        # a large first execution on a cold backend degrades ~100x; the
+        # warmup op launched at main() entry must complete before the
+        # first pair-HMM program dispatches
+        join_backend_warmup()
 
         use_base = args.seq_weight > 0.0 and any(
             r.base_emb is not None for r in records

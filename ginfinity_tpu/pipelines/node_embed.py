@@ -120,6 +120,9 @@ def generate_node_embeddings(
 
 
 def main(argv=None):
+    from ginfinity_tpu.utils.jaxinit import start_backend_warmup
+
+    start_backend_warmup()  # overlap remote-TPU bring-up with input parsing
     parser = argparse.ArgumentParser(
         description="Generate per-node embeddings (L x D JSON matrices) from dot-bracket structures."
     )
