@@ -705,6 +705,7 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
 
     # dispatch phase: one async program per group
     def dispatch(n_cap, idxs):
+        n_real = sum(per[i][4].size for i in idxs)
         if mesh is not None:
             # windows (the scale axis) shard over the mesh: descriptor
             # count padded to chunk * n_devices so every chip maps an
@@ -721,7 +722,7 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
                 L, keep_paired_neighbors,
                 _cap_ladder(p_cap), _cap_ladder(b_cap), chunk, mesh,
             )
-            return idxs, emb
+            return idxs, emb[:n_real]
         feats, pts_p, sidx_p, starts_p, p_cap, b_cap, w_cap = _pack_group(
             cfg, per, n_cap, idxs
         )
@@ -732,9 +733,18 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
             L, keep_paired_neighbors,
             _cap_ladder(p_cap), _cap_ladder(b_cap), _chunk_for(w_cap),
         )
-        return idxs, emb
+        # slice padding rows off ON DEVICE (a cheap fused slice) so the
+        # host download moves only real windows (~14% of the bench
+        # corpus's rows were ladder padding)
+        return idxs, emb[:n_real]
 
-    items = sorted(groups.items())
+    # dispatch LARGEST groups first: their (large) D2H copies then
+    # overlap the remaining groups' compute; the last download left
+    # unhidden is the smallest one
+    items = sorted(
+        groups.items(),
+        key=lambda kv: -sum(per[i][4].size for i in kv[1]),
+    )
     if parallel_compile and len(items) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -744,6 +754,15 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
         pending = [dispatch(*kv) for kv in items]
 
     # fetch phase: device compute for later groups overlaps these copies
+    for _, emb in pending:
+        try:
+            # enqueue every D2H copy now — each starts the moment its
+            # group's compute finishes, so downloads of earlier groups
+            # overlap compute of later ones instead of serializing at
+            # the blocking np.asarray below
+            emb.copy_to_host_async()
+        except (AttributeError, RuntimeError):  # non-jax arrays / cpu
+            pass
     results = [empty] * len(structures)
     for idxs, emb in pending:
         emb_np = np.asarray(emb)
