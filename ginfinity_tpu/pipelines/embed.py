@@ -117,6 +117,7 @@ def generate_window_embeddings(
     precision: str = "highest",
     max_programs: int | None = None,
     mesh=None,
+    bf16_check: int = 0,
 ):
     """Fused sliding-window embedding (--window-size): every window of
     every structure is generated AND embedded on device in one pass —
@@ -157,6 +158,11 @@ def generate_window_embeddings(
         model, structures, window_size, keep_paired_neighbors, mask_threshold,
         max_programs=max_programs, mesh=mesh,
     )
+    if precision != "highest" and bf16_check > 0:
+        _report_bf16_tail(
+            cfg, params, state, structures, ids, results, window_size,
+            keep_paired_neighbors, mask_threshold, bf16_check, log_path, quiet,
+        )
     rows = []
     for rid, struct, (starts, embs) in zip(ids, structures, results):
         base = input_df[input_df[id_column] == rid].iloc[0] if keep_cols else None
@@ -186,6 +192,63 @@ def generate_window_embeddings(
     }, "generate_window_embeddings")
     if not quiet:
         print(f"Window embeddings saved to {output_path}")
+
+
+def _report_bf16_tail(cfg, params, state, structures, ids, results,
+                      window_size, keep_paired_neighbors, mask_threshold,
+                      n_sample, log_path, quiet):
+    """Measure the bf16 quality tail on THIS corpus (--bf16-check N):
+    re-embed a deterministic sample of ~N windows at f32-HIGHEST and
+    report per-window cosine agreement, naming the worst windows.
+    BASELINE.md's corpus-level numbers (mean 0.9997, min 0.951) say the
+    tail exists; this says whether it hits the user's data."""
+    import numpy as np
+
+    from ginfinity_tpu.models.gine import GINModel
+    from ginfinity_tpu.pipelines.fast_windows import embed_corpus_windows
+
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(structures))
+    take, n_win = [], 0
+    for i in order:
+        if len(results[i][0]) == 0:
+            continue
+        take.append(int(i))
+        n_win += len(results[i][0])
+        if n_win >= n_sample:
+            break
+    if not take:
+        return
+    f32_model = GINModel(cfg.with_precision("highest"), params, state)
+    f32_res = embed_corpus_windows(
+        f32_model, [structures[i] for i in take], window_size,
+        keep_paired_neighbors, mask_threshold,
+    )
+    cos, names = [], []
+    for i, (_, f32_emb) in zip(take, f32_res):
+        starts, bf16_emb = results[i]
+        a = np.asarray(bf16_emb, np.float32)
+        b = np.asarray(f32_emb, np.float32)
+        num = np.sum(a * b, axis=1)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        cos.append(num / np.maximum(den, 1e-12))
+        names.extend(f"{ids[i]}_{int(s)}" for s in starts)
+    cos = np.concatenate(cos)
+    worst = np.argsort(cos)[: min(5, len(cos))]
+    diag = {
+        "bf16_check_windows": int(len(cos)),
+        "bf16_cosine_vs_f32_mean": round(float(cos.mean()), 6),
+        "bf16_cosine_vs_f32_min": round(float(cos.min()), 6),
+        "bf16_worst_windows": {names[int(j)]: round(float(cos[j]), 6)
+                               for j in worst},
+    }
+    log_information(log_path, diag, "bf16_check")
+    if not quiet:
+        print(f"[bf16-check] {len(cos)} windows re-embedded at f32: "
+              f"cosine mean {diag['bf16_cosine_vs_f32_mean']}, "
+              f"min {diag['bf16_cosine_vs_f32_min']}"
+              + ("" if cos.min() >= 0.99 else
+                 f" — WORST: {diag['bf16_worst_windows']}"))
 
 
 def _embed_precomputed(args):
@@ -282,6 +345,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "retrieval-identical to the reference; bf16 is "
                              "the ~2x-throughput speed mode (see BASELINE.md "
                              "for measured recall impact).")
+    parser.add_argument("--bf16-check", type=int, default=0, metavar="N",
+                        help="With --precision bf16 and --window-size: "
+                             "re-embed ~N sampled windows at f32 and log "
+                             "the measured cosine agreement (mean/min + "
+                             "the worst window ids), so the bf16 quality "
+                             "tail is visible on YOUR corpus instead of "
+                             "only in BASELINE.md. 0 (default) disables.")
     return parser
 
 
@@ -351,6 +421,7 @@ def _main_inner(args):
             precision="highest" if args.precision == "f32" else "bf16",
             max_programs=args.max_programs,
             mesh=mesh,
+            bf16_check=args.bf16_check,
         )
         return
     generate_embeddings(

@@ -208,6 +208,35 @@ class TestFusedWindowCLI:
         vb = np.array([[float(x) for x in v.split(",")] for v in b["embedding_vector"]])
         np.testing.assert_allclose(va, vb, atol=2e-4)
 
+    def test_bf16_check_reports_cosine_tail(self, tmp_path, capsys):
+        """--precision bf16 --bf16-check N must re-embed a sample at f32
+        and put the measured cosine agreement (mean/min + worst window
+        ids) in the run log, so the documented bf16 quality tail
+        (BASELINE.md min 0.951) is observable per corpus."""
+        import json as _json
+
+        from ginfinity_tpu.pipelines.embed import main as embed_main
+
+        mini = tmp_path / "mini.csv"
+        pd.read_csv(SAMPLE).head(3).to_csv(mini, index=False)
+        out = tmp_path / "bf.tsv"
+        embed_main(["--input", str(mini), "--output", str(out),
+                    "--id-column", "rnacentral_id", "--model-path", CKPT,
+                    "--window-size", "100", "--keep-paired-neighbors",
+                    "--precision", "bf16", "--bf16-check", "64"])
+        text = capsys.readouterr().out
+        assert "[bf16-check]" in text
+        log = (tmp_path / "bf.log").read_text()
+        assert "bf16_cosine_vs_f32_mean" in log
+        assert "bf16_cosine_vs_f32_min" in log
+        assert "bf16_worst_windows" in log
+        mean = float(log.split("bf16_cosine_vs_f32_mean: ")[1].splitlines()[0])
+        # CPU DEFAULT precision is f32 math, and even on TPU the mean
+        # stays ~0.9997 — the mechanism must report a sane cosine
+        assert 0.9 <= mean <= 1.0 + 1e-6
+        n = int(log.split("bf16_check_windows: ")[1].splitlines()[0])
+        assert n >= 64
+
     def test_fused_mode_skips_invalid_structures(self, tmp_path):
         """Invalid rows must be skipped-and-logged like the standard
         path, not crash the fused window mode."""

@@ -445,7 +445,11 @@ class TestGuideTree:
         def leaves(t):
             return [t] if isinstance(t, int) else leaves(t[0]) + leaves(t[1])
         assert sorted(leaves(tree)) == list(range(500))
-        assert dt < 1.0, f"{method} took {dt:.2f}s"
+        # generous bound: guards against accidental O(N^3)-per-merge
+        # regressions (minutes), not micro-perf — wall clock on a shared
+        # host under concurrent benchmark load measured up to ~1.6 s for
+        # a run that takes ~0.4 s idle
+        assert dt < 5.0, f"{method} took {dt:.2f}s"
 
 
 class TestRefinement:

@@ -73,6 +73,21 @@ class TestTopKSearcher:
         assert recall_at_k(i, ti) == 1.0
         np.testing.assert_allclose(np.sort(v, 1), np.sort(tv, 1), rtol=1e-3, atol=1e-2)
 
+    def test_exact_candidate_topk_matches_approx(self, data):
+        """candidate_recall=None switches the compressed-storage scan's
+        candidate generation from approx_max_k back to exact lax.top_k;
+        both must reach recall 1.0 here (the exact f32 re-score re-ranks
+        every emitted candidate either way)."""
+        corpus, queries = data
+        exact = TopKSearcher(corpus, query_block=64, storage="int8",
+                             candidate_recall=None)
+        approx = TopKSearcher(corpus, query_block=64, storage="int8")
+        _, ie = exact.search(queries, k=10)
+        _, ia = approx.search(queries, k=10)
+        _, ti = brute_force_topk(corpus, queries, 10)
+        assert recall_at_k(ie, ti) == 1.0
+        assert recall_at_k(ia, ti) == 1.0
+
     def test_bf16_device_rescore_recall(self, data):
         """bf16 residency with device re-score: rows reconstruct at bf16
         precision, so recall may drop slightly below the host-exact
