@@ -98,6 +98,14 @@ class TopKSearcher:
         self.storage = storage
         self.overfetch = max(1, int(overfetch))
         self.rescore = rescore
+        # f32 storage + bf16 precision + device re-score: scan with fast
+        # bf16 Gram passes but EMIT candidates and exactly re-score them
+        # in f32 on device — distance-recall ~1.0 instead of the raw
+        # bf16 Gram pass's 0.958 on correlated corpora, at the same or
+        # better q/s (rescore='host' keeps the raw single-pass scan).
+        self._bf16_rescore = (
+            storage == "f32" and precision == "bf16" and rescore == "device"
+        )
         # Candidate GENERATION for compressed storage + device re-score:
         # exact lax.top_k was ~94% of the scan (measured: 1.03 ms/tile
         # vs 0.06 ms for the int8 Gram itself at [1024, 8192]); TPU's
@@ -302,7 +310,7 @@ class TopKSearcher:
             # all_gather; replication can't be statically inferred
             check_vma=False,
         )
-        if storage == "f32" or self.rescore == "host":
+        if (storage == "f32" and not self._bf16_rescore) or self.rescore == "host":
             return jax.jit(fn)
 
         # Fused scan + local re-score for compressed storage: the scan
@@ -334,6 +342,10 @@ class TopKSearcher:
 
             if storage == "bf16":
                 q_mat = queries.astype(jnp.bfloat16)
+            elif storage == "f32":
+                # bf16-rescore mode: f32 inputs, DEFAULT-precision dot
+                # below runs fast bf16 MXU passes for the scan
+                q_mat = queries
             else:
                 q_scale = jnp.maximum(
                     jnp.max(jnp.abs(queries), axis=1) / 127.0, 1e-12
@@ -435,7 +447,8 @@ class TopKSearcher:
         candidates from the device scan and re-scores them exactly in
         f32 on the host."""
         k = min(k, self.n)
-        k_dev = k if self.storage == "f32" else min(self.n, self.overfetch * k)
+        plain_f32 = self.storage == "f32" and not self._bf16_rescore
+        k_dev = k if plain_f32 else min(self.n, self.overfetch * k)
         if (k_dev, k) not in self._search_fns:
             self._search_fns[(k_dev, k)] = self._build(k_dev, k)
         fn = self._search_fns[(k_dev, k)]
@@ -448,7 +461,9 @@ class TopKSearcher:
         q_sq = np.sum(queries * queries, axis=1)
 
         scale = self._scale if self._scale is not None else self._valid
-        dev_rescore = self.storage != "f32" and self.rescore == "device"
+        dev_rescore = (
+            self.storage != "f32" and self.rescore == "device"
+        ) or self._bf16_rescore
         out_k = k if (self.storage == "f32" or dev_rescore) else k_dev
         nq = queries.shape[0]
         out_v = np.empty((nq, out_k), np.float32)

@@ -88,6 +88,21 @@ class TestTopKSearcher:
         assert recall_at_k(ie, ti) == 1.0
         assert recall_at_k(ia, ti) == 1.0
 
+    def test_bf16_precision_f32_storage_rescores_on_device(self, data):
+        """precision='bf16' with f32 storage (default rescore='device')
+        must emit candidates from the fast bf16 Gram scan and re-score
+        them exactly in f32 on device — recall ~1.0 instead of the raw
+        bf16 pass's tie-swap losses; scores must be true distances."""
+        corpus, queries = data
+        s = TopKSearcher(corpus, query_block=64, precision="bf16")
+        assert s._bf16_rescore and s._host_corpus is None
+        v, i = s.search(queries, k=10)
+        _, ti = brute_force_topk(corpus, queries, 10)
+        assert recall_at_k(i, ti) >= 0.99
+        for q in range(4):
+            d = np.sum((corpus[i[q]] - queries[q]) ** 2, axis=1)
+            np.testing.assert_allclose(v[q], d, rtol=1e-4, atol=1e-5)
+
     def test_bf16_device_rescore_recall(self, data):
         """bf16 residency with device re-score: rows reconstruct at bf16
         precision, so recall may drop slightly below the host-exact
