@@ -16,6 +16,8 @@ import argparse
 import json
 import os
 
+import numpy as np
+
 
 def _load_rinalmo(model_name: str = "giga-v1"):
     try:
@@ -76,7 +78,7 @@ def generate_base_embeddings(df, output_path, id_column, sequence_column,
                     id_column: ids[s + k],
                     "seq_len": int(rep.shape[0]),
                     "base_embeddings": json.dumps(
-                        [[round(float(x), 6) for x in r] for r in rep],
+                        np.round(rep.astype(np.float64), 6).tolist(),
                         separators=(",", ":"),
                     ),
                 }

@@ -402,7 +402,11 @@ def posterior_stage_quality(
     import pandas as pd
 
     from ginfinity_tpu.ops.pairhmm import pairhmm_posteriors
-    from ginfinity_tpu.pipelines.msa import _l2_normalize_rows, calibrate_log_odds
+    from ginfinity_tpu.pipelines.msa import (
+        _l2_normalize_rows,
+        _parse_matrix_cell,
+        calibrate_log_odds,
+    )
 
     params = dict(DEFAULT_PARAMS, **(params or {}))
     tsv = os.path.join(workdir, "family_node_embeddings.tsv")
@@ -411,9 +415,7 @@ def posterior_stage_quality(
         family_to_tsv(members, model_path, tsv)
     df = pd.read_csv(tsv, sep="\t").set_index("Name")
     embs = {
-        name: _l2_normalize_rows(
-            np.asarray(json.loads(df.loc[name, "node_embeddings"]), np.float32)
-        )
+        name: _l2_normalize_rows(_parse_matrix_cell(df.loc[name, "node_embeddings"]))
         for name in (m.name for m in members)
     }
     ref_mod = _reference_msa_module()

@@ -36,6 +36,15 @@ def _load():
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.c_int32),
             ]
+            if hasattr(lib, "gf_parse_floats"):  # older .so builds lack it
+                lib.gf_parse_floats.restype = ctypes.c_long
+                lib.gf_parse_floats.argtypes = [
+                    ctypes.c_char_p,
+                    ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_long),
+                ]
             _LIB = lib
             break
     return _LIB
@@ -64,3 +73,44 @@ def native_pair_table(structure: str) -> np.ndarray | None:
     if rc != 0:
         return None
     return out
+
+
+def parse_float_matrix(cell: str) -> np.ndarray | None:
+    """Fast parse of a JSON 2-D float matrix cell ("[[...],...]").
+
+    The reference serializes per-node embedding matrices as JSON text
+    columns (generate_node_embeddings.py:54-63); at MSA family scale
+    that is ~10^7 floats per file and ``json.loads`` dominates the host
+    tail.  The C scanner (native/ginfast.cpp::gf_parse_floats) strtod's
+    every number (bit-identical to the json.loads -> float64 -> float32
+    path) and enforces rectangularity while scanning.
+
+    Returns None when the native library is unavailable or the cell is
+    not a plain rectangular numeric matrix — callers fall back to
+    ``json.loads``.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "gf_parse_floats"):
+        return None
+    if not isinstance(cell, str):
+        return None
+    s = cell.strip()
+    if len(s) < 4 or s[0] != "[" or s[-1] != "]":
+        return None
+    try:
+        raw = s.encode("ascii")
+    except UnicodeEncodeError:
+        return None
+    cap = len(raw) // 2 + 2  # every float costs >= 2 bytes ("0," ...)
+    out = np.empty(cap, dtype=np.float32)
+    ncols = ctypes.c_long(0)
+    n = lib.gf_parse_floats(
+        raw,
+        len(raw),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        cap,
+        ctypes.byref(ncols),
+    )
+    if n <= 0 or ncols.value <= 0 or n % ncols.value != 0:
+        return None
+    return out[:n].reshape(-1, ncols.value)

@@ -8,6 +8,7 @@
 // Build: make -C native  (produces libginfast.so)
 
 #include <cstdint>
+#include <cstdlib>
 #include <vector>
 
 extern "C" {
@@ -52,6 +53,56 @@ int gf_pair_table(const char* s, int n, int32_t* pt) {
     for (auto& st : stacks)
         if (!st.empty()) return 3;  // unmatched opener
     return 0;
+}
+
+// Parse a JSON 2-D numeric matrix cell ("[[1.0,-2e-3],...]") into a flat
+// float buffer.  The reference stores per-node embedding matrices as JSON
+// text columns (generate_node_embeddings.py:54-63); at MSA family scale
+// that is ~10^7 floats per input file and CPython json.loads dominates
+// the pipeline's host tail.  Each number is parsed with strtod then cast
+// to float so the result bit-matches the json.loads -> float64 -> float32
+// path.  Rectangularity is enforced (every row the same width) and the
+// row width is written to *ncols.  Returns the total count written
+// (<= cap), or -1 on malformed/ragged/non-numeric input.
+long gf_parse_floats(const char* s, long n, float* out, long cap,
+                     long* ncols) {
+    const char* p = s;
+    const char* end = s + n;
+    long count = 0;
+    int depth = 0;
+    long row_count = 0, first_row = -1;
+    while (p < end) {
+        const char c = *p;
+        if ((c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.') {
+            if (depth != 2) return -1;  // numbers live only inside a row
+            char* tok_end = nullptr;
+            const double v = strtod(p, &tok_end);
+            if (tok_end == p || tok_end > end) return -1;
+            if (count >= cap) return -1;
+            out[count++] = (float)v;
+            ++row_count;
+            p = tok_end;
+        } else if (c == '[') {
+            if (++depth > 2) return -1;
+            if (depth == 2) row_count = 0;
+            ++p;
+        } else if (c == ']') {
+            if (depth == 2) {
+                if (first_row < 0) first_row = row_count;
+                else if (row_count != first_row) return -1;  // ragged
+            }
+            if (--depth < 0) return -1;
+            ++p;
+        } else if (c == ',' || c == ' ' || c == '\t' || c == '\n' ||
+                   c == '\r') {
+            ++p;
+        } else {
+            return -1;  // not a plain numeric matrix (null, strings, ...)
+        }
+    }
+    if (depth != 0 || first_row <= 0) return -1;
+    *ncols = first_row;
+    return count;
 }
 
 }  // extern "C"
