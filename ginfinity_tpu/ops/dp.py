@@ -155,6 +155,30 @@ def _wavefront(scores, l1, l2, gap_open, gap_extend, mode: str):
     return best, bi, bj, codes
 
 
+_MESH_WAVEFRONTS: dict = {}
+
+
+def _wavefront_mesh(mesh):
+    """Mesh-jitted wavefront: the batch axis shards over 'data' (pairs
+    are independent — XLA partitions the whole scan with no collectives;
+    codes carry batch on axis 1, hence P(None, 'data'))."""
+    key = tuple(d.id for d in mesh.devices.flat)
+    fn = _MESH_WAVEFRONTS.get(key)
+    if fn is None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rows = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        fn = jax.jit(
+            _wavefront.__wrapped__,
+            static_argnames=("mode",),
+            in_shardings=(rows, rows, rows, repl, repl),
+            out_shardings=(rows, rows, rows, NamedSharding(mesh, P(None, "data"))),
+        )
+        _MESH_WAVEFRONTS[key] = fn
+    return fn
+
+
 def _codes_dense(codes: np.ndarray, b: int, L1: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Un-shear one pair's diagonal codes into dense TH/TE/TF [L1+1, L2+1]
     (vectorized scatter; the per-diagonal Python loop dominated wall time
@@ -247,14 +271,20 @@ def affine_align_batch(
     gap_extend: float,
     mode: str = "global",
     backend: str = "auto",
+    mesh=None,
 ) -> list[tuple[float, list]]:
     """Align a batch of similarity matrices; returns [(score, path)].
 
     Pads to the max (L1, L2) in the batch; run cost is one wavefront scan
     (or one Pallas VMEM kernel on TPU, backend='auto'|'pallas'|'lax')
     for the whole batch.
+
+    ``mesh``: a 1-D ``('data',)`` device mesh (parallel/mesh.py) shards
+    the batch dimension — pairs are independent, so the wavefront
+    partitions with zero collectives.  Multi-chip runs use the XLA
+    wavefront (the Pallas kernel is per-chip).
     """
-    if backend != "lax":
+    if backend != "lax" and mesh is None:
         L1 = max(m.shape[0] for m in score_mats)
         L2 = max(m.shape[1] for m in score_mats)
         if backend == "pallas" or _pallas_eligible(L1, L2, mode):
@@ -264,20 +294,35 @@ def affine_align_batch(
     from ginfinity_tpu.graphs.batching import _round_capacity
 
     B = len(score_mats)
+    # pad the batch so it tiles the mesh; dummy 1x1 pairs are masked out
+    # of the outputs below
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    B_pad = ((B + n_dev - 1) // n_dev) * n_dev
     # ladder-round so varying batch shapes reuse O(log L) compiled
     # programs (the wavefront is masked by the real l1/l2)
     L1 = _round_capacity(max(m.shape[0] for m in score_mats))
     L2 = _round_capacity(max(m.shape[1] for m in score_mats))
-    scores = np.full((B, L1, L2), 0.0, np.float32)
-    l1 = np.zeros(B, np.int32)
-    l2 = np.zeros(B, np.int32)
+    scores = np.full((B_pad, L1, L2), 0.0, np.float32)
+    l1 = np.ones(B_pad, np.int32)
+    l2 = np.ones(B_pad, np.int32)
     for k, m in enumerate(score_mats):
         scores[k, : m.shape[0], : m.shape[1]] = m
         l1[k], l2[k] = m.shape
 
-    best, bi, bj, codes = _wavefront(
-        jnp.asarray(scores), jnp.asarray(l1), jnp.asarray(l2),
-        gap_open, gap_extend, mode,
+    if mesh is None:
+        fn = _wavefront
+        inputs = (jnp.asarray(scores), jnp.asarray(l1), jnp.asarray(l2))
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rows = NamedSharding(mesh, P("data"))
+        fn = _wavefront_mesh(mesh)
+        inputs = tuple(
+            jax.device_put(x, rows) for x in (scores, l1, l2)
+        )
+
+    best, bi, bj, codes = fn(
+        inputs[0], inputs[1], inputs[2], gap_open, gap_extend, mode,
     )
     best = np.asarray(best)
     bi = np.asarray(bi)

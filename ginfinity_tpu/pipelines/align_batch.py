@@ -83,6 +83,11 @@ def main(argv=None):
     parser.add_argument("--write-matrix", action="store_true")
     parser.add_argument("--plot-matrix", action="store_true")
     parser.add_argument("--summary", default="summary.tsv")
+    parser.add_argument(
+        "--data-parallel",
+        action="store_true",
+        help="Shard pair batches over all devices of a ('data',) mesh.",
+    )
     args = parser.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -111,6 +116,16 @@ def main(argv=None):
     if args.gap_extend is None:
         args.gap_extend = args.gap_open
 
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        if jax.device_count() > 1:
+            from ginfinity_tpu.parallel.mesh import make_data_mesh
+
+            mesh = make_data_mesh()
+            print(f"[align-batch] data parallel over {mesh.devices.size} devices")
+
     pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
     summary_rows = []
     for s in range(0, len(pairs), args.batch_size):
@@ -118,7 +133,9 @@ def main(argv=None):
         sims = [
             cosine_similarity_matrix(mats[i], mats[j]).astype(np.float32) for i, j in chunk
         ]
-        results = affine_align_batch(sims, args.gap_open, args.gap_extend, args.mode)
+        results = affine_align_batch(
+            sims, args.gap_open, args.gap_extend, args.mode, mesh=mesh
+        )
         for (i, j), sim, (best_score, path) in zip(chunk, sims, results):
             _write_pair_outputs(args, ids[i], ids[j], structs[i], structs[j], sim, best_score, path)
             summary_rows.append(

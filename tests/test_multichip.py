@@ -91,6 +91,57 @@ class TestShardedMsa:
         assert list(a["Aligned"]) == list(b["Aligned"])
 
 
+class TestShardedBatchAlign:
+    def test_wavefront_mesh_matches_single_device(self):
+        """mesh= shards the DP batch axis over 'data'; scores AND paths
+        must match the single-device wavefront exactly (incl. the
+        dummy-pair padding up to a mesh multiple)."""
+        from ginfinity_tpu.ops.dp import affine_align_batch
+        from ginfinity_tpu.parallel.mesh import make_data_mesh
+
+        rng = np.random.default_rng(0)
+        mats = [
+            rng.standard_normal(
+                (int(rng.integers(5, 40)), int(rng.integers(5, 40)))
+            ).astype(np.float32)
+            for _ in range(13)  # 13 pairs pad to 16 on the 8-device mesh
+        ]
+        for mode in ("global", "local"):
+            ref = affine_align_batch(mats, -1.0, -0.5, mode, backend="lax")
+            got = affine_align_batch(mats, -1.0, -0.5, mode, mesh=make_data_mesh())
+            for (rs, rp), (gs, gp) in zip(ref, got):
+                assert abs(rs - gs) < 1e-5
+                assert rp == gp
+
+    def test_cli_flag(self, tmp_path):
+        """--data-parallel on the batch-align CLI reproduces the
+        single-device summary scores."""
+        from ginfinity_tpu.pipelines.align_batch import main as ab_main
+        from ginfinity_tpu.pipelines.node_embed import serialize_matrix
+
+        rng = np.random.default_rng(1)
+        rows = [
+            {
+                "id": f"r{k}",
+                "node_embeddings": serialize_matrix(
+                    rng.standard_normal((int(rng.integers(10, 25)), 8)).astype(
+                        np.float32
+                    )
+                ),
+            }
+            for k in range(5)
+        ]
+        inp = tmp_path / "emb.tsv"
+        pd.DataFrame(rows).to_csv(inp, sep="\t", index=False)
+        ab_main(["--input", str(inp), "--id-column", "id",
+                 "--output-dir", str(tmp_path / "s")])
+        ab_main(["--input", str(inp), "--id-column", "id",
+                 "--output-dir", str(tmp_path / "m"), "--data-parallel"])
+        a = pd.read_csv(tmp_path / "s" / "summary.tsv", sep="\t")
+        b = pd.read_csv(tmp_path / "m" / "summary.tsv", sep="\t")
+        np.testing.assert_allclose(a["score"], b["score"], atol=1e-5)
+
+
 class TestShardedTraining:
     def test_dryrun_multichip(self):
         import sys
