@@ -505,6 +505,35 @@ def _profile_ops(S, l1, l2, go, ge):
     return jax.vmap(one)(M, X, Y, l1, l2)
 
 
+def _pow2_batch(b: int) -> int:
+    p = 1
+    while p < b:
+        p *= 2
+    return p
+
+
+def _profile_pad_shape(S_list: list[np.ndarray]) -> tuple[int, int]:
+    """Padded (batch, square-dim) for a profile-DP call.
+
+    Progressive alignment issues one device program per tree level with a
+    DIFFERENT batch size at every level (and a long batch=1 caterpillar
+    tail on NJ trees), so each distinct (B, P1, P2) costs a ~1.5 s
+    persistent-cache executable load per fresh process — measured 11
+    distinct shapes = ~17 s of the 200x300 family's progressive stage
+    while the warm dispatch itself is ~50 ms.  Padding B to powers of
+    two and both length dims to one shared ladder cap collapses the
+    program set to a handful of shapes that `prewarm_profile_programs`
+    can load in the background before the stage starts."""
+    from ginfinity_tpu.graphs.batching import _round_capacity
+
+    Bp = _pow2_batch(len(S_list))
+    P = max(
+        _round_capacity(max(s.shape[0] for s in S_list)),
+        _round_capacity(max(s.shape[1] for s in S_list)),
+    )
+    return Bp, P
+
+
 def profile_align_batch_ops(S_list: list[np.ndarray], gap_open: float,
                             gap_extend: float) -> list[np.ndarray]:
     """Batched profile DP returning per-pair traceback op sequences
@@ -512,14 +541,11 @@ def profile_align_batch_ops(S_list: list[np.ndarray], gap_open: float,
     — only [B, L1+L2] int8 codes come over the link instead of three
     dense DP tensors (~110 MB per progressive-alignment round at family
     scale)."""
-    from ginfinity_tpu.graphs.batching import _round_capacity
-
     B = len(S_list)
-    P1 = _round_capacity(max(s.shape[0] for s in S_list))
-    P2 = _round_capacity(max(s.shape[1] for s in S_list))
-    Sp = np.full((B, P1, P2), -1e4, np.float32)
-    l1 = np.zeros(B, np.int32)
-    l2 = np.zeros(B, np.int32)
+    Bp, P = _profile_pad_shape(S_list)
+    Sp = np.full((Bp, P, P), -1e4, np.float32)
+    l1 = np.zeros(Bp, np.int32)
+    l2 = np.zeros(Bp, np.int32)
     for k, sm in enumerate(S_list):
         Sp[k, : sm.shape[0], : sm.shape[1]] = sm
         l1[k], l2[k] = sm.shape
@@ -532,19 +558,54 @@ def profile_align_batch_ops(S_list: list[np.ndarray], gap_open: float,
     return [ops[k][ops[k] != 3][::-1].copy() for k in range(B)]
 
 
+def prewarm_profile_programs(l_cap: int, b_max: int):
+    """Load/compile the progressive-DP program ladder in the background.
+
+    Call at pipeline entry (lengths known, guide tree not yet built):
+    the executable loads overlap the posterior/consistency stages so the
+    progressive stage never blocks on a per-shape program load.  Inputs
+    are created on device (`jnp.zeros`) — nothing crosses the host link.
+    Returns the thread; `.join()` is optional."""
+    import threading
+
+    from ginfinity_tpu.graphs.batching import _round_capacity
+
+    P = _round_capacity(max(2, l_cap))
+    batches = []
+    b = 1
+    while b <= _pow2_batch(max(1, b_max)):
+        batches.append(b)
+        b *= 2
+
+    def work():
+        for B in batches:
+            try:
+                r = _profile_ops(
+                    jnp.zeros((B, P, P), jnp.float32),
+                    jnp.ones((B,), jnp.int32),
+                    jnp.ones((B,), jnp.int32),
+                    jnp.float32(-1.0), jnp.float32(-0.1),
+                )
+                jax.block_until_ready(r)
+            except Exception:  # pragma: no cover - best-effort warmup
+                return
+
+    t = threading.Thread(target=work, daemon=True, name="profile-dp-prewarm")
+    t.start()
+    return t
+
+
 def profile_align_batch(S_list: list[np.ndarray], gap_open: float,
                         gap_extend: float):
     """Batched profile DP: pads every score matrix to the ladder-rounded
     batch max and runs ONE program; returns per-pair dense (M, X, Y)
     cropped to the real (L1+1, L2+1)."""
-    from ginfinity_tpu.graphs.batching import _round_capacity
-
     B = len(S_list)
-    P1 = _round_capacity(max(s.shape[0] for s in S_list))
-    P2 = _round_capacity(max(s.shape[1] for s in S_list))
-    Sp = np.full((B, P1, P2), -1e4, np.float32)
-    l1 = np.zeros(B, np.int32)
-    l2 = np.zeros(B, np.int32)
+    Bp, P = _profile_pad_shape(S_list)
+    P1 = P2 = P
+    Sp = np.full((Bp, P1, P2), -1e4, np.float32)
+    l1 = np.zeros(Bp, np.int32)
+    l2 = np.zeros(Bp, np.int32)
     for k, s in enumerate(S_list):
         Sp[k, : s.shape[0], : s.shape[1]] = s
         l1[k], l2[k] = s.shape
@@ -557,5 +618,5 @@ def profile_align_batch(S_list: list[np.ndarray], gap_open: float,
     )
     return [
         (M[k, : a + 1, : b + 1], X[k, : a + 1, : b + 1], Y[k, : a + 1, : b + 1])
-        for k, (a, b) in enumerate(zip(l1, l2))
+        for k, (a, b) in enumerate(zip(l1[:B], l2[:B]))
     ]

@@ -1167,18 +1167,34 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
             return seq_profiles[node]
         return resolved.get(id(node))
 
+    timing = os.environ.get("GINFINITY_MSA_TIMING")
+    t_score = t_dp = t_merge = 0.0
+    rounds = []
     remaining = internals
     while remaining:
         ready = [n for n in remaining if get(n[0]) is not None and get(n[1]) is not None]
         remaining = [n for n in remaining if get(n[0]) is None or get(n[1]) is None]
         pairs = [(get(n[0]), get(n[1])) for n in ready]
+        t0 = time.perf_counter()
         if scorer is not None:
             mats = [scorer(a, b) for a, b in pairs]
         else:
             mats = [_profile_score_matrix(a, b, seq_weight) for a, b in pairs]
+        t1 = time.perf_counter()
         all_ops = profile_align_batch_ops(mats, gap_open, gap_extend)
+        t2 = time.perf_counter()
         for n, (a, b), ops in zip(ready, pairs, all_ops):
             resolved[id(n)] = _merge_from_ops(a, b, ops)
+        t3 = time.perf_counter()
+        t_score += t1 - t0
+        t_dp += t2 - t1
+        t_merge += t3 - t2
+        if timing:
+            rounds.append((len(ready), max(m.shape[0] for m in mats),
+                           max(m.shape[1] for m in mats)))
+    if timing:
+        print(f"[progressive detail] rounds={len(rounds)} score={t_score:.2f}s "
+              f"dp={t_dp:.2f}s merge={t_merge:.2f}s shapes={rounds}")
     return resolved[id(tree)]
 
 
@@ -1501,6 +1517,16 @@ def main(argv=None):
     dims = {r.emb.shape[1] for r in records}
     if len(dims) != 1:
         raise SystemExit("All embeddings must have the same dimension.")
+
+    # load the progressive-DP program ladder while the posterior and
+    # consistency stages run — one device program per tree level with a
+    # level-specific batch size otherwise stalls ~1.5 s per shape on
+    # executable loads (measured 11 shapes = ~17 s on the 200x300 family)
+    from ginfinity_tpu.ops.pairhmm import prewarm_profile_programs
+
+    prewarm_profile_programs(
+        max(r.emb.shape[0] for r in records), max(1, N // 2)
+    )
 
     alpha = args.alpha if args.alpha is not None else 5.0
     beta = args.beta if args.beta is not None else 0.0
