@@ -9,6 +9,7 @@ ginfinity_tpu/__init__.py.
 from __future__ import annotations
 
 import os
+import time
 
 
 def init_jax_defaults() -> None:
@@ -33,6 +34,7 @@ def init_jax_defaults() -> None:
 
 
 _warmup_thread = None
+last_warmup_secs: float | None = None
 
 
 def start_backend_warmup():
@@ -52,6 +54,8 @@ def start_backend_warmup():
         import threading
 
         def _probe():
+            global last_warmup_secs
+            t0 = time.perf_counter()
             try:
                 import numpy as np
 
@@ -60,6 +64,7 @@ def start_backend_warmup():
                 np.asarray(jnp.zeros(8) + 1)
             except Exception:  # pragma: no cover - warmup is best-effort
                 pass
+            last_warmup_secs = time.perf_counter() - t0
 
         _warmup_thread = threading.Thread(
             target=_probe, name="ginfinity-backend-warmup", daemon=True
@@ -69,5 +74,36 @@ def start_backend_warmup():
 
 
 def join_backend_warmup() -> None:
-    if _warmup_thread is not None:
-        _warmup_thread.join()
+    """Wait for the warmup probe, with a stall watchdog.
+
+    The shared remote-TPU tunnel has a degraded-tail state where session
+    establishment itself stalls for minutes (measured 64-491 s for a
+    trivial first op; BASELINE.md cold-start section).  Nothing in user
+    code can restart the tunnel, but silence here makes the stall look
+    like a pipeline hang — so after ``GINFINITY_WARMUP_WARN_SECS``
+    (default 30) the watchdog says what is actually happening, repeats
+    every interval, and reports the total once the session comes up."""
+    if _warmup_thread is None:
+        return
+    warn_after = float(os.environ.get("GINFINITY_WARMUP_WARN_SECS", "30"))
+    t0 = time.perf_counter()
+    warned = False
+    while True:
+        _warmup_thread.join(timeout=warn_after)
+        if not _warmup_thread.is_alive():
+            break
+        warned = True
+        print(
+            f"[WARN] device session establishment is stalled "
+            f"({time.perf_counter() - t0:.0f}s and counting) — this is "
+            f"remote-TPU tunnel congestion, not the pipeline; it will "
+            f"resume on its own. (GINFINITY_WARMUP_WARN_SECS={warn_after:g})",
+            flush=True,
+        )
+    if warned:
+        print(
+            f"[WARN] device session up after "
+            f"{time.perf_counter() - t0:.0f}s; throughput this run may be "
+            f"transport-degraded.",
+            flush=True,
+        )
