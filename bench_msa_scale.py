@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--lmax", type=int, default=300)
     ap.add_argument("--tiled", action="store_true",
                     help="force the tiled (non-memoized) consistency round")
+    ap.add_argument("--max-pairs", type=int, default=2000,
+                    help="kNN pair cap (pass >= n*(n-1)/2 for all pairs)")
     ap.add_argument("--data-parallel", action="store_true")
     args = ap.parse_args()
 
@@ -61,7 +63,7 @@ def main():
             sys.executable, "-m", "ginfinity_tpu.pipelines.msa",
             "--input", tsv, "--out-prefix", os.path.join(td, "out", "msa"),
             "--alpha", "5", "--beta", "0", "--topk", "20",
-            "--consistency-rounds", "1", "--max-pairs", "2000",
+            "--consistency-rounds", "1", "--max-pairs", str(args.max_pairs),
         ]
         if args.data_parallel:
             cmd.append("--data-parallel")
