@@ -467,13 +467,13 @@ def _profile_dense(S, l1, l2, go, ge):
     return un(Ms), un(Xs), un(Ys)
 
 
-@jax.jit
-def _profile_ops(S, l1, l2, go, ge):
+def _profile_ops_impl(S, l1, l2, go, ge):
     """Dense profile DP + the reference's VALUE-BASED traceback, both on
     device (embed_msa.py:1042-1054 selection semantics, including the
     M-then-X-then-Y strict-greater priority).  Returns op codes in
     traceback (reverse) order: 0 match, 1 gap-in-B, 2 gap-in-A,
-    3 padding."""
+    3 padding.  Un-jitted body so the device-resident progressive pool
+    (ops/profile_pool.py) can inline it into its own level program."""
     M, X, Y = _profile_dense(S, l1, l2, go, ge)
     n_steps = (M.shape[1] - 1) + (M.shape[2] - 1)
 
@@ -503,6 +503,9 @@ def _profile_ops(S, l1, l2, go, ge):
         return ops
 
     return jax.vmap(one)(M, X, Y, l1, l2)
+
+
+_profile_ops = jax.jit(_profile_ops_impl)
 
 
 def _pow2_batch(b: int) -> int:

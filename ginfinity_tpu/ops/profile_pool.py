@@ -1,0 +1,301 @@
+"""Device-resident progressive alignment: the profile pool.
+
+The levelized progressive stage (pipelines/msa.py::msa_from_tree) is a
+host-driven loop: per tree level it builds score matrices on host,
+uploads them ([B, P, P] f32 — ~117 MB over a 200x300 family's 58
+levels), runs the profile DP on device, downloads the traceback ops and
+merges profiles on host.  Every level is therefore a synchronous
+host<->device round trip (~50-90 ms each over the remote tunnel), and
+an NJ tree's batch=1 caterpillar tail makes there be many levels.
+
+This module keeps the whole merge state ON DEVICE instead: a pool of
+profile tensors (``MU`` [M, P, d] mean-structure embeddings, optional
+``MB`` base embeddings, ``ST`` stem fractions, ``LN`` lengths; M = 2N
+slots — N leaves, N-1 internal nodes, 1 dump slot for batch padding).
+One jitted program per level gathers the two child profiles of every
+ready merge, computes the score matrix on device (HIGHEST-precision
+dots + the 0.2 stem-agreement term — pipelines/msa.py::
+_profile_score_matrix semantics, reference embed_msa.py:874-930), runs
+the wavefront DP + value-based traceback (pairhmm._profile_ops_impl),
+vectorizes the merge (the same cumsum-gather math as
+pipelines/msa.py::_merge_from_ops) and scatters the result back into
+the pool.  Because each level's inputs are device-resident, the host
+can enqueue ALL levels without reading anything back (JAX async
+dispatch); the only blocking download is the per-level op codes at the
+end, which the host replays to build the aligned character rows.
+
+Score-mode coverage: the profile-mode scorer only (``--dp-score
+profile``, the default and the reference-parity mode).  Library-mode
+scoring reads the sparse posterior library through per-member column
+maps that live on host; it keeps the host-driven path.
+
+Merged profiles can outgrow the padded length P (gap-rich merges).
+Every level emits per-merge lengths; the driver checks them after the
+final download and signals overflow, upon which the caller falls back
+to the host-driven path (correctness is never at risk — the pool is an
+execution strategy, not a different algorithm).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ginfinity_tpu.ops.pairhmm import _pow2_batch, _profile_ops_impl
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnames=("has_base",), donate_argnums=(0, 1, 2, 3))
+def _pool_level(MU, MB, ST, LN, blk, go, ge, sw, has_base):
+    """Run one tree level: gather children, score, DP, merge, scatter.
+
+    ``blk`` is the level's [Bp, 3] (ia, ib, iout) slot table — sliced on
+    device from the whole run's index table (run_progressive_pool
+    uploads that table ONCE; per-level host index uploads would pay a
+    tunnel transfer three times per tree level).
+
+    Returns the updated pool plus the per-merge reverse-order op codes
+    [B, 2P] (for host char replay) and merged lengths [B]."""
+    ia, ib, iout = blk[:, 0], blk[:, 1], blk[:, 2]
+    P = MU.shape[1]
+    A = MU[ia]
+    Bm = MU[ib]  # [B, P, d]
+    S = jnp.einsum("bpd,bqd->bpq", A, Bm, precision=_HIGHEST)
+    if has_base:
+        Sb = jnp.einsum("bpd,bqd->bpq", MB[ia], MB[ib], precision=_HIGHEST)
+        S = (1.0 - sw) * S + sw * Sb
+    stA = ST[ia]
+    stB = ST[ib]
+    comp = jnp.where(
+        (stA[:, :, None] >= 0.5) == (stB[:, None, :] >= 0.5), 0.2, 0.0
+    ).astype(S.dtype)
+    S = S + comp
+    l1 = LN[ia]
+    l2 = LN[ib]
+    ops_rev = _profile_ops_impl(S, l1, l2, go, ge)  # [B, 2P] int8, reverse order
+
+    def merge_one(opsr, Amu, Bmu, Ast, Bst, Abase, Bbase):
+        T = opsr.shape[0]
+        opf = opsr[::-1]  # forward order; the padding 3s form a prefix
+        valid = opf != 3
+        n = valid.sum()
+        # compact: the p-th real op sits at index p + (T - n)
+        idx = jnp.arange(T)
+        opc = jnp.where(idx < n, opf[jnp.clip(idx + (T - n), 0, T - 1)], 3)
+        takes_a = (opc == 0) | (opc == 1)
+        takes_b = (opc == 0) | (opc == 2)
+        match = opc == 0
+        ia_c = jnp.clip(jnp.cumsum(takes_a) - 1, 0, P - 1)
+        jb_c = jnp.clip(jnp.cumsum(takes_b) - 1, 0, P - 1)
+        ta = takes_a[:, None].astype(jnp.float32)
+        tb = takes_b[:, None].astype(jnp.float32)
+        summed = Amu[ia_c] * ta + Bmu[jb_c] * tb  # [T, d]
+        normed = summed / (
+            jnp.linalg.norm(summed, axis=1, keepdims=True) + 1e-8
+        )
+        mu = jnp.where(match[:, None], normed, summed)
+        stem = (Ast[ia_c] * takes_a + Bst[jb_c] * takes_b) / jnp.maximum(
+            ta[:, 0] + tb[:, 0], 1.0
+        )
+        if Abase is not None:
+            sb = Abase[ia_c] * ta + Bbase[jb_c] * tb
+            nb = sb / (jnp.linalg.norm(sb, axis=1, keepdims=True) + 1e-8)
+            mb = jnp.where(match[:, None], nb, sb)[:P]
+        else:
+            mb = None
+        # rows past the merged length stay zero (leaf padding convention)
+        live = (idx < n)[:, None].astype(jnp.float32)
+        mu = (mu * live)[:P]
+        stem = (stem * live[:, 0])[:P]
+        if mb is not None:
+            mb = mb * live[:P]
+        return mu, stem, mb, n.astype(jnp.int32)
+
+    if has_base:
+        mu_new, st_new, mb_new, n_new = jax.vmap(merge_one)(
+            ops_rev, A, Bm, stA, stB, MB[ia], MB[ib]
+        )
+        MB = MB.at[iout].set(mb_new)
+    else:
+        mu_new, st_new, _, n_new = jax.vmap(
+            lambda o, a, b, sa, sb: merge_one(o, a, b, sa, sb, None, None)
+        )(ops_rev, A, Bm, stA, stB)
+    MU = MU.at[iout].set(mu_new)
+    ST = ST.at[iout].set(st_new)
+    LN = LN.at[iout].set(n_new)
+    return MU, MB, ST, LN, ops_rev, n_new
+
+
+def run_progressive_pool(levels, leaf_mu, leaf_base, leaf_stem, leaf_len,
+                         P, gap_open, gap_extend, seq_weight):
+    """Execute the level schedule on a device-resident pool.
+
+    ``levels``: list of (ia, ib, iout) int arrays (slot indices; leaves
+    occupy slots [0, N), internal nodes [N, M-2], slot M-1 is the
+    batch-padding dump).  ``leaf_*``: [N, ...] host arrays padded to P.
+
+    Returns (ops_per_level, lengths_per_level) as host arrays, or None
+    on overflow (some merged profile outgrew P) — caller falls back."""
+    N, d = leaf_mu.shape[0], leaf_mu.shape[2]
+    M = N + sum(len(ia) for ia, _, _ in levels) + 1
+    has_base = leaf_base is not None
+
+    MU = jnp.concatenate(
+        [jnp.asarray(leaf_mu), jnp.zeros((M - N, P, d), jnp.float32)]
+    )
+    if has_base:
+        db = leaf_base.shape[2]
+        MB = jnp.concatenate(
+            [jnp.asarray(leaf_base), jnp.zeros((M - N, P, db), jnp.float32)]
+        )
+    else:
+        # zero-width placeholder keeps the jit signature stable
+        MB = jnp.zeros((M, P, 1), jnp.float32)
+    ST = jnp.concatenate(
+        [jnp.asarray(leaf_stem), jnp.zeros((M - N, P), jnp.float32)]
+    )
+    LN = jnp.concatenate(
+        [jnp.asarray(leaf_len), jnp.zeros((M - N,), jnp.int32)]
+    )
+
+    go = jnp.float32(gap_open)
+    ge = jnp.float32(gap_extend)
+    sw = jnp.float32(seq_weight)
+    dump = M - 1
+
+    import os
+    import time
+
+    timing = os.environ.get("GINFINITY_MSA_TIMING")
+    t0 = time.perf_counter()
+
+    # Two program shapes only: Bp=1 for the (always-present) caterpillar
+    # tail and one shared Bmax for every wider level.  DP lanes are
+    # nearly free (B=16 measured 1.6x the B=1 device time) while every
+    # distinct batch shape costs a ~1.5 s per-process executable load —
+    # two shapes keep the background prewarm ahead of the stage even on
+    # a degraded tunnel.
+    Bmax = _pow2_batch(max(len(ia) for ia, _, _ in levels))
+
+    # one [total, 3] index upload for the whole run; levels slice it on
+    # device (3 tiny host uploads per tree level otherwise)
+    rows = []
+    offs = []
+    bps = []
+    off = 0
+    for ia, ib, iout in levels:
+        B = len(ia)
+        Bp = 1 if B == 1 else Bmax
+        pad = Bp - B
+        lv = np.stack(
+            [
+                np.concatenate([ia, np.zeros(pad, np.int64)]),
+                np.concatenate([ib, np.zeros(pad, np.int64)]),
+                np.concatenate([iout, np.full(pad, dump, np.int64)]),
+            ],
+            axis=1,
+        ).astype(np.int32)
+        rows.append(lv)
+        offs.append(off)
+        bps.append(Bp)
+        off += Bp
+    IDX = jnp.asarray(np.concatenate(rows, axis=0))
+    OFFS = jnp.asarray(np.asarray(offs, np.int32))
+    ZERO = jnp.int32(0)
+
+    ops_out = []
+    len_out = []
+    for k, Bp in enumerate(bps):
+        # eager on-device slice: stable [Bp, 3] jit signature, no host
+        # upload (OFFS[k] is a device gather)
+        blk = jax.lax.dynamic_slice(IDX, (OFFS[k], ZERO), (Bp, 3))
+        MU, MB, ST, LN, ops_rev, n_new = _pool_level(
+            MU, MB, ST, LN, blk, go, ge, sw, has_base
+        )
+        ops_out.append(ops_rev)  # device refs — no sync inside the loop
+        len_out.append(n_new)
+    t1 = time.perf_counter()
+
+    # ONE device concat + ONE blocking download (per-level np.asarray
+    # would pay a D2H round trip per tree level — the very cost the
+    # pool exists to remove)
+    ops_all = np.asarray(jnp.concatenate(ops_out, axis=0))
+    len_all = np.asarray(jnp.concatenate(len_out))
+    t2 = time.perf_counter()
+    if timing:
+        print(f"[progressive detail] pool enqueue {t1 - t0:.2f}s "
+              f"device+download {t2 - t1:.2f}s levels={len(levels)}")
+
+    lengths = []
+    ops_host = []
+    off = 0
+    for (ia, _, _), Bp in zip(levels, bps):
+        lengths.append(len_all[off : off + len(ia)])
+        ops_host.append(ops_all[off : off + len(ia)])
+        off += Bp
+    if any(int(l.max(initial=0)) > P for l in lengths):
+        return None  # overflow: a merge outgrew the padded length
+    return ops_host, lengths
+
+
+def prewarm_pool_programs(n_leaves: int, P: int, d: int, base_dim: int,
+                          b_max: int):
+    """Compile/load the pool-level program ladder in the background (the
+    same motivation as pairhmm.prewarm_profile_programs: one program per
+    distinct batch size, ~1.5 s executable load each in a fresh
+    process).  All inputs are created on device — nothing crosses the
+    host link."""
+    import threading
+
+    M = 2 * max(1, n_leaves)
+    has_base = base_dim > 0
+    db = base_dim if has_base else 1
+
+    # the run uses exactly two batch shapes: 1 (caterpillar tail) and
+    # one Bmax = pow2(widest level).  The widest level of an NJ tree is
+    # the first one (~n/12 cherries empirically), so warm 1 and the
+    # n/8 guess first, then the larger fallbacks if time allows.
+    n = max(1, b_max * 2)
+    batches = [1]
+    for guess in (-(-n // 8), -(-n // 4), -(-n // 2)):
+        g = _pow2_batch(max(1, guess))
+        if g not in batches:
+            batches.append(g)
+
+    def work():
+        import os
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            MU = jnp.zeros((M, P, d), jnp.float32)
+            MB = jnp.zeros((M, P, db), jnp.float32)
+            ST = jnp.zeros((M, P), jnp.float32)
+            LN = jnp.ones((M,), jnp.int32)
+            for B in batches:
+                blk = jnp.full((B, 3), M - 1, jnp.int32)
+                out = _pool_level(
+                    MU, MB, ST, LN, blk,
+                    jnp.float32(-1.0), jnp.float32(-0.1), jnp.float32(0.0),
+                    has_base,
+                )
+                MU, MB, ST, LN = out[:4]
+                jax.block_until_ready(out[4])
+            if os.environ.get("GINFINITY_MSA_TIMING"):
+                print(f"[progressive detail] pool prewarm done "
+                      f"({len(batches)} shapes, {time.perf_counter() - t0:.1f}s)",
+                      flush=True)
+        except Exception as e:  # pragma: no cover - best-effort warmup
+            if os.environ.get("GINFINITY_MSA_TIMING"):
+                print(f"[progressive detail] pool prewarm failed: {e!r}",
+                      flush=True)
+            return
+
+    t = threading.Thread(target=work, daemon=True, name="pool-dp-prewarm")
+    t.start()
+    return t

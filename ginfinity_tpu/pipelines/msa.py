@@ -1139,12 +1139,112 @@ def _merge_from_ops(A: Profile, B: Profile, ops) -> Profile:
     return Profile(mu_s, mu_b, stem, members, aligned)
 
 
+def _build_levels(internals):
+    """Readiness-levelize the internal nodes: list of lists of nodes."""
+    levels = []
+    resolved_ids: set[int] = set()
+
+    def ready(n):
+        def ok(c):
+            return isinstance(c, int) or id(c) in resolved_ids
+        return ok(n[0]) and ok(n[1])
+
+    remaining = internals
+    while remaining:
+        lv = [n for n in remaining if ready(n)]
+        remaining = [n for n in remaining if not ready(n)]
+        for n in lv:
+            resolved_ids.add(id(n))
+        levels.append(lv)
+    return levels
+
+
+def _msa_from_tree_pool(tree, internals, seq_profiles, gap_open, gap_extend,
+                        seq_weight) -> Optional[Profile]:
+    """Device-resident progressive alignment (ops/profile_pool.py):
+    every level's score+DP+merge runs on device against a profile pool,
+    so the host enqueues all levels without per-level round trips and
+    downloads only the traceback op codes at the end, replaying them
+    through ``_merge_from_ops`` for the aligned character rows (the
+    final Profile is therefore host-exact).  Returns None when a merge
+    outgrows the padded length (caller falls back to the host loop)."""
+    from ginfinity_tpu.graphs.batching import _round_capacity
+    from ginfinity_tpu.ops.profile_pool import run_progressive_pool
+
+    N = len(seq_profiles)
+    lens = [p.mu_struct.shape[0] for p in seq_profiles]
+    P = _round_capacity(max(lens))
+    d = seq_profiles[0].mu_struct.shape[1]
+    has_base = seq_weight > 0.0 and all(
+        p.mu_base is not None for p in seq_profiles
+    )
+
+    leaf_mu = np.zeros((N, P, d), np.float32)
+    leaf_stem = np.zeros((N, P), np.float32)
+    leaf_len = np.asarray(lens, np.int32)
+    leaf_base = None
+    if has_base:
+        db = seq_profiles[0].mu_base.shape[1]
+        leaf_base = np.zeros((N, P, db), np.float32)
+    for i, p in enumerate(seq_profiles):
+        L = lens[i]
+        if L > P:
+            return None
+        leaf_mu[i, :L] = p.mu_struct
+        leaf_stem[i, :L] = p.stem
+        if has_base:
+            leaf_base[i, :L] = p.mu_base
+
+    slot = {}
+    for k, n in enumerate(internals):
+        slot[id(n)] = N + k
+
+    def slot_of(node):
+        return node if isinstance(node, int) else slot[id(node)]
+
+    node_levels = _build_levels(internals)
+    levels = [
+        (
+            np.asarray([slot_of(n[0]) for n in lv], np.int64),
+            np.asarray([slot_of(n[1]) for n in lv], np.int64),
+            np.asarray([slot[id(n)] for n in lv], np.int64),
+        )
+        for lv in node_levels
+    ]
+
+    out = run_progressive_pool(
+        levels, leaf_mu, leaf_base, leaf_stem, leaf_len,
+        P, gap_open, gap_extend, seq_weight,
+    )
+    if out is None:
+        return None
+    ops_levels, _ = out
+
+    # host replay: ops -> merged Profiles (chars + host-exact tensors)
+    resolved: dict[int, Profile] = {}
+
+    def get(node):
+        if isinstance(node, int):
+            return seq_profiles[node]
+        return resolved[id(node)]
+
+    for lv, ops_b in zip(node_levels, ops_levels):
+        for n, opsr in zip(lv, ops_b):
+            ops = opsr[opsr != 3][::-1]
+            resolved[id(n)] = _merge_from_ops(get(n[0]), get(n[1]), ops)
+    return resolved[id(tree)]
+
+
 def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
                   scorer=None) -> Profile:
     """Progressive alignment, levelized: every round batches ALL merges
     whose children are ready into one device DP program (the tree depth,
     not the merge count, sets the number of sequential device round
-    trips — a 50-leaf balanced tree runs ~6 rounds instead of 49)."""
+    trips — a 50-leaf balanced tree runs ~6 rounds instead of 49).
+
+    Profile-mode scoring (scorer=None) routes through the device-
+    resident pool (ops/profile_pool.py) — zero per-level round trips —
+    unless GINFINITY_MSA_POOL=0 or a merge outgrows the padded length."""
     from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops
 
     if isinstance(tree, int):
@@ -1160,6 +1260,20 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
         internals.append(node)
 
     walk(tree)
+
+    if scorer is None and os.environ.get("GINFINITY_MSA_POOL", "1") != "0":
+        t0 = time.perf_counter()
+        prof = _msa_from_tree_pool(
+            tree, internals, seq_profiles, gap_open, gap_extend, seq_weight
+        )
+        if prof is not None:
+            if os.environ.get("GINFINITY_MSA_TIMING"):
+                print(f"[progressive detail] pool path "
+                      f"{time.perf_counter() - t0:.2f}s")
+            return prof
+        if os.environ.get("GINFINITY_MSA_TIMING"):
+            print("[progressive detail] pool overflow -> host path")
+
     resolved: dict[int, Profile] = {}
 
     def get(node):
@@ -1518,15 +1632,36 @@ def main(argv=None):
     if len(dims) != 1:
         raise SystemExit("All embeddings must have the same dimension.")
 
-    # load the progressive-DP program ladder while the posterior and
+    # load the progressive-stage program ladder while the posterior and
     # consistency stages run — one device program per tree level with a
     # level-specific batch size otherwise stalls ~1.5 s per shape on
     # executable loads (measured 11 shapes = ~17 s on the 200x300 family)
-    from ginfinity_tpu.ops.pairhmm import prewarm_profile_programs
+    lmax_rec = max(r.emb.shape[0] for r in records)
+    if args.dp_score == "library":
+        from ginfinity_tpu.ops.pairhmm import prewarm_profile_programs
 
-    prewarm_profile_programs(
-        max(r.emb.shape[0] for r in records), max(1, N // 2)
-    )
+        prewarm_profile_programs(lmax_rec, max(1, N // 2))
+    elif os.environ.get("GINFINITY_MSA_POOL", "1") != "0":
+        from ginfinity_tpu.graphs.batching import _round_capacity
+        from ginfinity_tpu.ops.profile_pool import prewarm_pool_programs
+
+        base_dim = 0
+        if float(args.seq_weight) > 0.0:
+            base_dim = next(
+                (r.base_emb.shape[1] for r in records if r.base_emb is not None), 0
+            )
+        prewarm_pool_programs(
+            N, _round_capacity(lmax_rec), int(next(iter(dims))),
+            base_dim, max(1, N // 2),
+        )
+        if int(args.refine_iters) > 0:
+            from ginfinity_tpu.ops.pairhmm import prewarm_profile_programs
+
+            prewarm_profile_programs(lmax_rec, 2)
+    else:
+        from ginfinity_tpu.ops.pairhmm import prewarm_profile_programs
+
+        prewarm_profile_programs(lmax_rec, max(1, N // 2))
 
     alpha = args.alpha if args.alpha is not None else 5.0
     beta = args.beta if args.beta is not None else 0.0

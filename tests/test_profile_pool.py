@@ -1,0 +1,88 @@
+"""Device-resident progressive pool (ops/profile_pool.py) parity vs the
+host-driven levelized path — identical aligned output strings, including
+families whose tree levels mix widths (the two-shape batch padding pads
+intermediate levels to Bmax, which must stay aligned with the ops
+slicing; a misalignment here produced out-of-bounds replay indices)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ginfinity_tpu.pipelines.msa import (
+    SequenceRecord,
+    _l2_normalize_rows,
+    build_guide_tree,
+    initial_profiles,
+    msa_from_tree,
+    profile_to_msa_strings,
+)
+
+
+def _family(rng, n, lmax, d=8, noise=0.2):
+    base = rng.normal(size=(lmax, d)).astype(np.float32)
+    recs = []
+    for k in range(n):
+        L = int(rng.integers(int(lmax * 0.7), lmax + 1))
+        e = base[:L] + noise * rng.normal(size=(L, d)).astype(np.float32)
+        recs.append(SequenceRecord(name=f"s{k}", emb=_l2_normalize_rows(e)))
+    return recs
+
+
+def _run_both(recs, seed, gap_open=-1.0, gap_extend=-0.1, seq_weight=0.0):
+    rng = np.random.default_rng(seed)
+    n = len(recs)
+    profs = initial_profiles(recs)
+    D = rng.random((n, n))
+    D = (D + D.T) / 2
+    np.fill_diagonal(D, 0)
+    tree = build_guide_tree(D)
+    names = [r.name for r in recs]
+    old = os.environ.get("GINFINITY_MSA_POOL")
+    try:
+        os.environ["GINFINITY_MSA_POOL"] = "0"
+        host = msa_from_tree(tree, profs, gap_open, gap_extend, seq_weight)
+        os.environ["GINFINITY_MSA_POOL"] = "1"
+        pool = msa_from_tree(tree, profs, gap_open, gap_extend, seq_weight)
+    finally:
+        if old is None:
+            os.environ.pop("GINFINITY_MSA_POOL", None)
+        else:
+            os.environ["GINFINITY_MSA_POOL"] = old
+    return (profile_to_msa_strings(host, names),
+            profile_to_msa_strings(pool, names))
+
+
+@pytest.mark.parametrize("n,lmax,seed", [
+    (6, 12, 0),
+    (10, 25, 1),
+    (18, 40, 2),   # mixed level widths: Bmax padding != per-level pow2
+    (30, 35, 3),   # wider first level + batch=1 caterpillar tail
+])
+def test_pool_matches_host_path(n, lmax, seed):
+    rng = np.random.default_rng(seed + 100)
+    recs = _family(rng, n, lmax)
+    host, pool = _run_both(recs, seed)
+    assert host == pool
+
+
+def test_pool_matches_host_path_with_base_embeddings():
+    rng = np.random.default_rng(11)
+    recs = _family(rng, 8, 20)
+    for r in recs:
+        L = r.emb.shape[0]
+        r.base_emb = _l2_normalize_rows(
+            rng.normal(size=(L, 6)).astype(np.float32))
+    host, pool = _run_both(recs, 11, seq_weight=0.4)
+    assert host == pool
+
+
+def test_pool_overflow_falls_back_to_host_path():
+    # dissimilar length-30 sequences (ladder cap 32): gap-rich merges
+    # outgrow P, the pool must detect it and the fallback must produce
+    # the host result
+    rng = np.random.default_rng(5)
+    recs = [SequenceRecord(name=f"t{k}", emb=_l2_normalize_rows(
+        rng.normal(size=(30, 8)).astype(np.float32))) for k in range(4)]
+    host, pool = _run_both(recs, 5, gap_open=-0.2)
+    assert host == pool
