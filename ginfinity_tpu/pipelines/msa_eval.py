@@ -294,8 +294,10 @@ _SHARED_FLAGS = (
 
 def _param_flags(params: dict) -> list[str]:
     out = []
+    # refine_iters appears AFTER _SHARED_FLAGS' "--refine-iters 0"
+    # default, so argparse's last-wins override applies
     for k in ("topk", "consistency_rounds", "alpha", "beta", "gap_open",
-              "gap_extend", "max_pairs", "seed"):
+              "gap_extend", "max_pairs", "seed", "refine_iters"):
         if k in params:
             out += [f"--{k.replace('_', '-')}", str(params[k])]
     return out

@@ -126,3 +126,19 @@ class TestMsaQualityVsReference:
         assert ours > 2 * theirs, (ours, theirs)
         for p in probes:
             assert p["repo"]["finite_fraction"] == 1.0
+
+
+def test_param_flags_refine_override_wins():
+    """refine_iters must reach the CLI: _SHARED_FLAGS pins a
+    '--refine-iters 0' default, and _param_flags appends the override
+    AFTER it so argparse's last-wins applies (a silent drop here made a
+    refinement A/B measure zero delta)."""
+    from ginfinity_tpu.pipelines.msa import build_parser
+    from ginfinity_tpu.pipelines.msa_eval import _SHARED_FLAGS, _param_flags
+
+    flags = _param_flags({"refine_iters": 3, "alpha": 5})
+    assert "--refine-iters" in flags
+    args = build_parser().parse_args(
+        ["--input", "dummy", *_SHARED_FLAGS, *flags]
+    )
+    assert args.refine_iters == 3
