@@ -34,6 +34,14 @@ Every level emits per-merge lengths; the driver checks them after the
 final download and signals overflow, upon which the caller falls back
 to the host-driven path (correctness is never at risk — the pool is an
 execution strategy, not a different algorithm).
+
+Precision note: the device computes score matrices with XLA
+HIGHEST-precision dots while the host path uses NumPy BLAS; on cells
+where two DP states tie EXACTLY, a 1-ulp reduction-order difference can
+flip the strict-greater value traceback to a different CO-OPTIMAL op.
+Both alignments score identically (quality is unaffected); exact
+string parity with the host path is guaranteed only per-backend (the
+parity tests run on CPU).
 """
 
 from __future__ import annotations
@@ -48,6 +56,20 @@ import jax.numpy as jnp
 from ginfinity_tpu.ops.pairhmm import _pow2_batch, _profile_ops_impl
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def pool_padded_len(max_leaf_len: int) -> int:
+    """Padded profile length P for a pool run.
+
+    Merged profiles grow past the longest leaf as soon as any merge
+    emits a gap column, so padding to the bare ladder rung would
+    guarantee overflow (and a wasted pool run + host re-run) for any
+    family whose longest sequence sits exactly on a rung.  Always keep
+    >= 12.5% headroom before rounding."""
+    from ginfinity_tpu.graphs.batching import _round_capacity
+
+    m = max(2, max_leaf_len)
+    return _round_capacity(m + max(8, m // 8))
 
 
 @partial(jax.jit, static_argnames=("has_base",), donate_argnums=(0, 1, 2, 3))
@@ -256,13 +278,16 @@ def prewarm_pool_programs(n_leaves: int, P: int, d: int, base_dim: int,
     has_base = base_dim > 0
     db = base_dim if has_base else 1
 
-    # the run uses exactly two batch shapes: 1 (caterpillar tail) and
+    # The run uses exactly two batch shapes: 1 (caterpillar tail) and
     # one Bmax = pow2(widest level).  The widest level of an NJ tree is
-    # the first one (~n/12 cherries empirically), so warm 1 and the
-    # n/8 guess first, then the larger fallbacks if time allows.
+    # usually the first one (~n/12 cherries empirically), so warm the
+    # n/8-ish guess first, then 1 (the always-used tail shape), then
+    # the small shapes Bmax lands on for small families, then larger
+    # fallbacks — ordering matters because the progressive stage needs
+    # the WIDE shape first and the prewarm may still be running.
     n = max(1, b_max * 2)
-    batches = [1]
-    for guess in (-(-n // 8), -(-n // 4), -(-n // 2)):
+    batches = []
+    for guess in (-(-n // 8), 1, 4, 2, -(-n // 4), -(-n // 2)):
         g = _pow2_batch(max(1, guess))
         if g not in batches:
             batches.append(g)

@@ -1168,12 +1168,14 @@ def _msa_from_tree_pool(tree, internals, seq_profiles, gap_open, gap_extend,
     through ``_merge_from_ops`` for the aligned character rows (the
     final Profile is therefore host-exact).  Returns None when a merge
     outgrows the padded length (caller falls back to the host loop)."""
-    from ginfinity_tpu.graphs.batching import _round_capacity
-    from ginfinity_tpu.ops.profile_pool import run_progressive_pool
+    from ginfinity_tpu.ops.profile_pool import (
+        pool_padded_len,
+        run_progressive_pool,
+    )
 
     N = len(seq_profiles)
     lens = [p.mu_struct.shape[0] for p in seq_profiles]
-    P = _round_capacity(max(lens))
+    P = pool_padded_len(max(lens))
     d = seq_profiles[0].mu_struct.shape[1]
     has_base = seq_weight > 0.0 and all(
         p.mu_base is not None for p in seq_profiles
@@ -1284,10 +1286,7 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
     timing = os.environ.get("GINFINITY_MSA_TIMING")
     t_score = t_dp = t_merge = 0.0
     rounds = []
-    remaining = internals
-    while remaining:
-        ready = [n for n in remaining if get(n[0]) is not None and get(n[1]) is not None]
-        remaining = [n for n in remaining if get(n[0]) is None or get(n[1]) is None]
+    for ready in _build_levels(internals):
         pairs = [(get(n[0]), get(n[1])) for n in ready]
         t0 = time.perf_counter()
         if scorer is not None:
@@ -1637,13 +1636,13 @@ def main(argv=None):
     # level-specific batch size otherwise stalls ~1.5 s per shape on
     # executable loads (measured 11 shapes = ~17 s on the 200x300 family)
     lmax_rec = max(r.emb.shape[0] for r in records)
-    if args.dp_score == "library":
-        from ginfinity_tpu.ops.pairhmm import prewarm_profile_programs
-
-        prewarm_profile_programs(lmax_rec, max(1, N // 2))
-    elif os.environ.get("GINFINITY_MSA_POOL", "1") != "0":
-        from ginfinity_tpu.graphs.batching import _round_capacity
-        from ginfinity_tpu.ops.profile_pool import prewarm_pool_programs
+    pool_on = (args.dp_score != "library"
+               and os.environ.get("GINFINITY_MSA_POOL", "1") != "0")
+    if pool_on:
+        from ginfinity_tpu.ops.profile_pool import (
+            pool_padded_len,
+            prewarm_pool_programs,
+        )
 
         base_dim = 0
         if float(args.seq_weight) > 0.0:
@@ -1651,13 +1650,15 @@ def main(argv=None):
                 (r.base_emb.shape[1] for r in records if r.base_emb is not None), 0
             )
         prewarm_pool_programs(
-            N, _round_capacity(lmax_rec), int(next(iter(dims))),
+            N, pool_padded_len(lmax_rec), int(next(iter(dims))),
             base_dim, max(1, N // 2),
         )
         if int(args.refine_iters) > 0:
             from ginfinity_tpu.ops.pairhmm import prewarm_profile_programs
 
-            prewarm_profile_programs(lmax_rec, 2)
+            # refinement aligns sub-profiles whose length is the column
+            # count (>= leaf length, gaps included) — warm with headroom
+            prewarm_profile_programs(lmax_rec + max(8, lmax_rec // 8), 2)
     else:
         from ginfinity_tpu.ops.pairhmm import prewarm_profile_programs
 

@@ -85,7 +85,12 @@ def join_backend_warmup() -> None:
     every interval, and reports the total once the session comes up."""
     if _warmup_thread is None:
         return
-    warn_after = float(os.environ.get("GINFINITY_WARMUP_WARN_SECS", "30"))
+    try:
+        warn_after = float(os.environ.get("GINFINITY_WARMUP_WARN_SECS", "30"))
+    except ValueError:
+        warn_after = 30.0
+    # a zero/negative value would busy-loop the join + warning spam
+    warn_after = max(warn_after, 1.0)
     t0 = time.perf_counter()
     warned = False
     while True:

@@ -2,7 +2,12 @@
 host-driven levelized path — identical aligned output strings, including
 families whose tree levels mix widths (the two-shape batch padding pads
 intermediate levels to Bmax, which must stay aligned with the ops
-slicing; a misalignment here produced out-of-bounds replay indices)."""
+slicing; a misalignment here produced out-of-bounds replay indices).
+
+Exact string parity holds per backend (these tests run on forced-CPU
+JAX); across backends a 1-ulp dot-product difference can flip the
+strict-greater traceback to a different CO-OPTIMAL alignment — see the
+precision note in ops/profile_pool.py."""
 
 import os
 
@@ -77,12 +82,46 @@ def test_pool_matches_host_path_with_base_embeddings():
     assert host == pool
 
 
+def test_pool_padded_len_has_headroom_at_ladder_rungs():
+    from ginfinity_tpu.graphs.batching import _round_capacity
+    from ginfinity_tpu.ops.profile_pool import pool_padded_len
+
+    # a family whose longest sequence sits exactly on a rung must NOT be
+    # padded to that rung — the first gap-containing merge would
+    # overflow and waste the entire pool run
+    for rung in (32, 64, 128, 256, 384):
+        assert pool_padded_len(rung) > rung
+    assert pool_padded_len(300) == _round_capacity(300 + 300 // 8)
+
+
 def test_pool_overflow_falls_back_to_host_path():
-    # dissimilar length-30 sequences (ladder cap 32): gap-rich merges
-    # outgrow P, the pool must detect it and the fallback must produce
-    # the host result
+    # positive gap scores make every merge all-gap (merged length = sum
+    # of child lengths), guaranteeing growth past the padded length; the
+    # pool must detect the overflow and the fallback must produce the
+    # host result
+    from ginfinity_tpu.pipelines.msa import _msa_from_tree_pool
+
     rng = np.random.default_rng(5)
     recs = [SequenceRecord(name=f"t{k}", emb=_l2_normalize_rows(
-        rng.normal(size=(30, 8)).astype(np.float32))) for k in range(4)]
-    host, pool = _run_both(recs, 5, gap_open=-0.2)
+        rng.normal(size=(30, 8)).astype(np.float32))) for k in range(8)]
+    n = len(recs)
+    profs = initial_profiles(recs)
+    rng2 = np.random.default_rng(5)
+    D = rng2.random((n, n))
+    D = (D + D.T) / 2
+    np.fill_diagonal(D, 0)
+    tree = build_guide_tree(D)
+    internals = []
+
+    def walk(node):
+        if isinstance(node, int):
+            return
+        walk(node[0])
+        walk(node[1])
+        internals.append(node)
+
+    walk(tree)
+    assert _msa_from_tree_pool(tree, internals, profs, 2.0, 2.0, 0.0) is None
+
+    host, pool = _run_both(recs, 5, gap_open=2.0, gap_extend=2.0)
     assert host == pool
