@@ -12,7 +12,46 @@ import os
 import time
 
 
+def host_fingerprint() -> str:
+    """Stable per-machine key for CPU-backend XLA caches: a hash of the
+    host's CPU feature flags (the exact thing XLA:CPU's AOT loader
+    checks before refusing/warning on foreign executables).
+
+    A standalone copy lives in ``__graft_entry__.py`` — that shim must
+    stay importable without touching this package (the driver loads it
+    before env setup)."""
+    import hashlib
+    import platform
+
+    material = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    material += line
+                    break
+    except OSError:
+        material += platform.processor()
+    return hashlib.sha256(material.encode()).hexdigest()[:16]
+
+
+def _default_cache_dir(platforms: str | None) -> str:
+    """CPU-forced processes get a host-keyed cache dir: XLA:CPU AOT
+    executables embed host CPU features, so sharing them across machines
+    spams cpu_aot_loader machine-feature errors and risks SIGILL.  TPU
+    executables are host-independent and share one dir (the whole point
+    of the cache — tunnel compiles cost minutes)."""
+    base = os.path.join(os.path.expanduser("~"), ".cache", "ginfinity_tpu")
+    if platforms and "cpu" in platforms:
+        return os.path.join(base, "xla_cache_cpu_" + host_fingerprint())
+    return os.path.join(base, "xla_cache")
+
+
+_configured_cache_dir: str | None = None
+
+
 def init_jax_defaults() -> None:
+    global _configured_cache_dir
     import jax
 
     if os.environ.get("GINFINITY_NO_XLA_CACHE") == "1":
@@ -20,17 +59,39 @@ def init_jax_defaults() -> None:
         # are host-specific and warn/SIGILL on reload)
         return
     if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        cache_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "ginfinity_tpu", "xla_cache"
+        platforms = getattr(jax.config, "jax_platforms", None) or os.environ.get(
+            "JAX_PLATFORMS"
         )
+        cache_dir = _default_cache_dir(platforms)
         try:
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             # cache everything, even fast compiles
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+            _configured_cache_dir = cache_dir
         except Exception:  # pragma: no cover - cache is best-effort
             pass
+
+
+def _fix_cache_dir_for_backend() -> None:
+    """Late correction for processes that force the CPU platform AFTER
+    importing this package (init_jax_defaults then saw the TPU default):
+    once the backend is actually up, move the cache out of the shared
+    TPU dir so host-specific CPU entries never pollute it."""
+    global _configured_cache_dir
+    if _configured_cache_dir is None:
+        return
+    try:
+        import jax
+
+        right_dir = _default_cache_dir(jax.default_backend())
+        if right_dir != _configured_cache_dir:
+            os.makedirs(right_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", right_dir)
+            _configured_cache_dir = right_dir
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 
 _warmup_thread = None
@@ -62,6 +123,7 @@ def start_backend_warmup():
                 import jax.numpy as jnp
 
                 np.asarray(jnp.zeros(8) + 1)
+                _fix_cache_dir_for_backend()
             except Exception:  # pragma: no cover - warmup is best-effort
                 pass
             last_warmup_secs = time.perf_counter() - t0

@@ -44,3 +44,28 @@ def test_entry_compiles_single_device():
     out = jax.jit(fn)(*args)
     assert out.shape[-1] == 128
     assert bool(jax.numpy.isfinite(out).all())
+
+
+def test_cpu_cache_dir_is_host_keyed():
+    """CPU-forced processes must not share the TPU persistent-cache dir:
+    XLA:CPU AOT entries embed host CPU features (cross-host SIGILL risk,
+    cpu_aot_loader warning spam).  The default dir is host-keyed for CPU
+    and the fingerprint matches the standalone copy in __graft_entry__
+    (which conftest uses for the test cache)."""
+    import importlib.util
+
+    from ginfinity_tpu.utils.jaxinit import _default_cache_dir, host_fingerprint
+
+    cpu_dir = _default_cache_dir("cpu")
+    tpu_dir = _default_cache_dir(None)
+    assert cpu_dir != tpu_dir
+    assert cpu_dir.endswith("xla_cache_cpu_" + host_fingerprint())
+    assert tpu_dir.endswith("xla_cache")
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft_entry_fp_test",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod._host_fingerprint() == host_fingerprint()
