@@ -415,11 +415,13 @@ def _forward_windows_aligned(config: GINConfig, params, state, feats_all,
         )
 
         if pallas_windows_ok(config):
-            return forward_windows_pallas(
+            res = forward_windows_pallas(
                 config, params, state, x, j_local, bp_in, pulled,
                 fwd_into_w[..., 0], fwd_into_p[..., 0], L,
                 interpret=jax.default_backend() == "cpu",
             )
+            if res is not None:   # None = no VMEM fit; XLA path below
+                return res
 
     pos = jnp.arange(L)
     m_next = (pos <= L - 2).astype(f32)[None, :, None]
