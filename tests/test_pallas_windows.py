@@ -149,6 +149,68 @@ class TestPallasWindows:
         ))
         np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
 
+    def test_matches_xla_path_forgi(self):
+        """Forgi checkpoints (7-dim edge layout, base-only 16-dim window
+        features) route into the kernel when their widths qualify; the
+        kernel's constant edge rows come from the same
+        window_edge_const_rows layout as the XLA aligned path."""
+        import jax
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.graphs.batching import _round_capacity
+        from ginfinity_tpu.graphs.build import window_node_features
+        from ginfinity_tpu.graphs.dotbracket import pair_table
+        from ginfinity_tpu.models.gine import GINConfig, init_params
+        from ginfinity_tpu.pipelines.fast_windows import (
+            _forward_windows_aligned,
+        )
+
+        cfg = GINConfig(
+            hidden_dims=(128, 128),
+            output_dim=128,
+            graph_encoding="forgi",
+            node_feature_dim=16,
+            edge_feature_dim=7,
+            pooling_type="global_mean_pool",
+            node_embed_norm="zscore_l2",
+            normalize_nodes_before_pool=True,
+        )
+        params, state = init_params(jax.random.PRNGKey(5), cfg)
+
+        structures = (
+            pd.read_csv(SAMPLE)["secondary_structure"].astype(str).head(4).tolist()
+        )
+        L = 48
+        n_cap = _round_capacity(max(len(s) for s in structures))
+        S = len(structures)
+        feats = np.zeros((S, n_cap, cfg.node_feature_dim), np.float32)
+        pts = np.full((S, n_cap), -1, np.int32)
+        starts, sidx = [], []
+        for k, s in enumerate(structures):
+            pt = pair_table(s)
+            feats[k, : len(s)] = window_node_features(
+                pt, None, cfg.seq_weight, cfg.graph_encoding,
+                cfg.node_feature_dim,
+            )
+            pts[k, : len(s)] = pt
+            rng = np.random.default_rng(k)
+            for st in rng.integers(0, len(s) - L, size=4):
+                starts.append(int(st))
+                sidx.append(k)
+        si = jnp.asarray(np.asarray(sidx, np.int32))
+        st = jnp.asarray(np.asarray(starts, np.int32))
+        feats_d, pts_d = jnp.asarray(feats), jnp.asarray(pts)
+
+        ref = np.asarray(_forward_windows_aligned(
+            cfg, params, state, feats_d, pts_d, si, st, L,
+            True, use_pallas=False,
+        ))
+        got = np.asarray(_forward_windows_aligned(
+            cfg, params, state, feats_d, pts_d, si, st, L,
+            True, use_pallas=True,
+        ))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
     def test_pick_cb_shrinks_with_width(self):
         from ginfinity_tpu.ops.pallas_windows import _pick_cb
 
