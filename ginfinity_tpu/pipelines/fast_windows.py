@@ -42,6 +42,82 @@ import numpy as np
 # 76.7k vs 55.7k emb/s device-only on the bench corpus).  Set
 # GINFINITY_PALLAS_WINDOWS=0 to force the XLA path.
 _USE_PALLAS = os.environ.get("GINFINITY_PALLAS_WINDOWS", "1") != "0"
+_canary_cache: dict = {}
+
+
+def _canary_key(cfg: "GINConfig", L: int) -> tuple:
+    """Everything the kernel's lowering specializes on (see
+    pallas_windows._pallas_forward static args) plus the backend."""
+    from ginfinity_tpu.ops.pallas_windows import layer_dims
+
+    return (
+        jax.default_backend(), layer_dims(cfg), cfg.output_dim,
+        cfg.pooling_type,
+        cfg.node_embed_norm if cfg.normalize_nodes_before_pool else "none",
+        cfg.use_residual, cfg.matmul_precision, L,
+    )
+
+
+def _pallas_canary_ok(cfg: "GINConfig", L: int) -> bool:
+    """One-time per-(config-family, L) check that the window kernel
+    actually Mosaic-compiles and runs on this backend — a toolchain
+    regression (or an unforeseen Mosaic lowering gap on a new config
+    family) must degrade the fused path to the XLA encoder, not crash
+    the pipeline.  The canary is a concrete one-block forward of the
+    USER'S config at the user's window size, executed at host level so
+    compile failures are catchable (the real call sites sit inside
+    outer jits where they would not be).  Host entry points run it
+    BEFORE their first dispatch; the trace-time gate in
+    :func:`_forward_windows_aligned` only reads the cached verdict —
+    device work during tracing would produce tracers, not results."""
+    key = _canary_key(cfg, L)
+    if key in _canary_cache:
+        return _canary_cache[key]
+    try:
+        from ginfinity_tpu.models.gine import init_params
+        from ginfinity_tpu.ops.pallas_windows import (
+            _pick_cb,
+            forward_windows_pallas,
+            layer_dims,
+        )
+
+        dims = layer_dims(cfg)
+        cb = _pick_cb(dims, cfg.output_dim, L)
+        if cb is None:
+            # no VMEM fit: forward_windows_pallas returns None at trace
+            # time and the XLA path runs — nothing to canary
+            _canary_cache[key] = True
+            return True
+        params, state = init_params(jax.random.PRNGKey(0), cfg)
+        zc = jnp.zeros((cb, L), jnp.float32)
+        out = forward_windows_pallas(
+            cfg, params, state,
+            jnp.zeros((cb, 2 * L, dims[0][0]), jnp.float32),
+            zc.astype(jnp.int32), zc, zc, zc, zc, L,
+        )
+        assert out is not None
+        np.asarray(out)  # force compile + execute
+        ok = True
+    except Exception as exc:  # pragma: no cover - toolchain-dependent
+        import warnings
+
+        warnings.warn(
+            "Pallas window kernel unavailable for this config on backend "
+            f"{jax.default_backend()!r} ({exc!r}); using the XLA encoder"
+        )
+        ok = False
+    _canary_cache[key] = ok
+    return ok
+
+
+def _maybe_canary(cfg: "GINConfig", L: int) -> None:
+    """Run the Pallas canary iff this config would take the kernel path
+    (host level, before the first fused dispatch)."""
+    if _USE_PALLAS and jax.default_backend() != "cpu" and _dense_forward_ok(cfg):
+        from ginfinity_tpu.ops.pallas_windows import pallas_windows_ok
+
+        if pallas_windows_ok(cfg):
+            _pallas_canary_ok(cfg, L)
 
 from ginfinity_tpu.graphs.batching import GraphBatch
 from ginfinity_tpu.graphs.build import (
@@ -266,6 +342,7 @@ def embed_structure_windows(
     from ginfinity_tpu.pipelines.windows import window_starts_mask
 
     cfg = model.config
+    _maybe_canary(cfg, L)
     pt = pair_table(structure)
     n = pt.shape[0]
     if n < L:
@@ -406,8 +483,15 @@ def _forward_windows_aligned(config: GINConfig, params, state, feats_all,
 
     if use_pallas is None:
         # default on for accelerators only: on CPU the kernel can only
-        # run in (slow) interpret mode — covered explicitly by tests
-        use_pallas = _USE_PALLAS and jax.default_backend() != "cpu"
+        # run in (slow) interpret mode — covered explicitly by tests.
+        # _canary_cache is read-only here (trace time); the host entry
+        # points populate it before their first dispatch.  Default True
+        # for keys never canaried (direct-jit callers: prewarm, tests).
+        use_pallas = (
+            _USE_PALLAS
+            and jax.default_backend() != "cpu"
+            and _canary_cache.get(_canary_key(config, L), True)
+        )
     if use_pallas and C % 8 == 0:
         from ginfinity_tpu.ops.pallas_windows import (
             forward_windows_pallas,
@@ -697,6 +781,7 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
 
     start_backend_warmup()  # overlap backend bring-up with host prep
     cfg = model.config
+    _maybe_canary(cfg, L)
     empty = (np.zeros(0, np.int64), np.zeros((0, cfg.output_dim), np.float32))
     per, groups = _prep_corpus_groups(
         cfg, structures, L, keep_paired_neighbors, mask_threshold, max_programs

@@ -256,3 +256,65 @@ class TestFusedWindowCLI:
         assert set(w["rid"]) == {"ok"} and len(w) > 0
         log = (tmp_path / "w.log").read_text()
         assert "skipped_invalid_structure" in log
+
+
+class TestPallasCanary:
+    """The one-time Mosaic-compile canary must degrade the fused path to
+    the XLA encoder on kernel failure instead of crashing the pipeline."""
+
+    def test_key_is_stable_and_config_sensitive(self, model):
+        from ginfinity_tpu.pipelines.fast_windows import _canary_key
+
+        k1 = _canary_key(model.config, 100)
+        k2 = _canary_key(model.config, 100)
+        k3 = _canary_key(model.config, 60)
+        assert k1 == k2 and k1 != k3
+
+    def test_canary_failure_is_cached_and_warns(self, model):
+        """On the CPU backend the kernel cannot Mosaic-compile (interpret
+        mode is never requested by the canary), so the canary must catch
+        the failure, warn once, and cache False for the family."""
+        import warnings
+
+        from ginfinity_tpu.pipelines import fast_windows as fw
+
+        key = fw._canary_key(model.config, 40)
+        fw._canary_cache.pop(key, None)
+        try:
+            with warnings.catch_warnings(record=True) as rec:
+                warnings.simplefilter("always")
+                ok = fw._pallas_canary_ok(model.config, 40)
+            assert ok is False
+            assert fw._canary_cache[key] is False
+            assert any("XLA encoder" in str(w.message) for w in rec)
+            # second call: cached, no device work, no new warning
+            with warnings.catch_warnings(record=True) as rec2:
+                warnings.simplefilter("always")
+                assert fw._pallas_canary_ok(model.config, 40) is False
+            assert not rec2
+        finally:
+            fw._canary_cache.pop(key, None)
+
+    def test_maybe_canary_noop_on_cpu(self, model):
+        from ginfinity_tpu.pipelines import fast_windows as fw
+
+        before = dict(fw._canary_cache)
+        fw._maybe_canary(model.config, 100)
+        assert fw._canary_cache == before
+
+    def test_failed_canary_routes_to_xla_path(self, model, monkeypatch):
+        """With the cache poisoned to False the fused pipeline must still
+        produce file-path-parity embeddings via the XLA encoder."""
+        from ginfinity_tpu.pipelines import fast_windows as fw
+        from ginfinity_tpu.pipelines.engine import InferenceEngine, adapt_feature_dim
+        from ginfinity_tpu.pipelines.windows import structure_to_windows
+
+        key = fw._canary_key(model.config, 40)
+        monkeypatch.setitem(fw._canary_cache, key, False)
+        s = "((((....))))" * 6
+        starts, emb = fw.embed_structure_windows(model, s, 40, True, 0.0)
+        wins = structure_to_windows(s, 40, True, 0.0)
+        graphs = adapt_feature_dim([g for _, g in wins],
+                                   model.config.node_feature_dim)
+        emb_host = InferenceEngine(model).embed_graphs(graphs)
+        np.testing.assert_allclose(emb, emb_host, atol=1e-4, rtol=1e-4)
