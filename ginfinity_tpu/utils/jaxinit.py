@@ -40,7 +40,17 @@ def _default_cache_dir(platforms: str | None) -> str:
     executables embed host CPU features, so sharing them across machines
     spams cpu_aot_loader machine-feature errors and risks SIGILL.  TPU
     executables are host-independent and share one dir (the whole point
-    of the cache — tunnel compiles cost minutes)."""
+    of the cache — tunnel compiles cost minutes).
+
+    Residual cosmetic warnings: XLA:CPU injects +prefer-no-scatter /
+    +prefer-no-gather pseudo-features into the compile-time target
+    string, but LLVM host detection never reports them, so the AOT
+    loader warns on EVERY cache reload — even for entries this same
+    machine wrote moments earlier (verified: fresh cache, two identical
+    runs — 0 warnings on compile, 6 on reload).  That upstream false
+    positive is harmless and cannot be silenced from user code without
+    muting all native logging; the host-keyed dir still prevents the
+    real cross-machine SIGILL hazard."""
     base = os.path.join(os.path.expanduser("~"), ".cache", "ginfinity_tpu")
     if platforms and "cpu" in platforms:
         return os.path.join(base, "xla_cache_cpu_" + host_fingerprint())
