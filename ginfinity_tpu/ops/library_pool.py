@@ -1,0 +1,284 @@
+"""Device-resident progressive alignment for LIBRARY-mode scoring.
+
+``--dp-score library`` is the T-Coffee/ProbCons-correct progressive
+mode (and the measured-quality winner — BASELINE.md "MSA output quality
+vs the reference pipeline"): the progressive DP scores column pairs by
+the mean consistency-transformed match posterior between their member
+positions.  Until now only profile-mode scoring had the device-resident
+pool (ops/profile_pool.py); library mode ran the host loop
+(pipelines/msa.py::PosteriorLibrary.score_matrix — python loops over
+member pairs + np.bincount per merge), paying a host round trip per
+tree level AND a posterior-slab download.
+
+This module keeps the whole library-mode merge state on device.  The
+key observation: the library score matrix for merging profiles A and B,
+
+    S[c, d] = (1 / nA*nB) * sum over library pairs (x, y), x in A, y in B,
+              of the sparse posterior val[x-pos p, y-pos q]
+              scattered at (column-of-p-in-A, column-of-q-in-B),
+
+needs only (1) the sparse posterior slabs, which are ALREADY device-
+resident at the end of the consistency stage (pipelines/msa.py::
+consistency_rounds_to_distances_from_slabs), and (2) a per-member
+position->column map POS2COL [N, P], updated from each merge's
+traceback ops.  No profile tensors ever touch the device; unlike the
+profile pool there is no mean-embedding state at all.
+
+Because each library pair (x, y) contributes to exactly ONE merge (the
+tree node where x and y first share a profile — their LCA), the total
+scatter work over the whole run is one pass over the library.  The
+host schedule (which pair fires at which level/lane, with which
+orientation) depends only on the guide tree and is built up front;
+every level is then enqueued asynchronously with zero per-level
+round trips, and only the [levels, 2P] traceback op codes download at
+the end (pipelines/msa.py replays them through ``_merge_from_ops`` for
+the aligned character rows, so the final Profile is host-exact).
+
+Two program shapes per batch width: ``_lib_accum`` (scatter one entry
+chunk into the level's score matrices; chunked so a pair-dense level
+cannot blow VMEM/HBM with a [E, Lmax, k] gather) and ``_lib_dp_merge``
+(DP + traceback + POS2COL remap).  Like the profile pool, lane widths
+are collapsed to {1, Bmax}.
+
+Precision note (same as ops/profile_pool.py): the host scorer
+accumulates in float64 (np.bincount) while the device scatter-adds in
+f32, so on merges where two DP alternatives land within 1 ulp the
+value traceback may pick a different CO-OPTIMAL op than the host path.
+Both alignments score identically; exact string parity with the host
+path is asserted per-backend (CPU) in tests/test_library_pool.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ginfinity_tpu.ops.pairhmm import _pow2_batch, _profile_ops_impl
+
+# entries per accumulation chunk: bounds the [EC, Lmax, k] gather
+# temporaries (~EC*Lmax*k*4 bytes each) regardless of how many library
+# pairs fire at one level
+_ENTRY_CHUNK = 512
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _lib_accum(S, POS2COL, Cv, Ci, pair_a, pair_b, lane, t, flip, w):
+    """Scatter one entry chunk into the level's score matrices.
+
+    S [Bp, P, P] (donated accumulator); POS2COL [N, P] current
+    position->column maps; Cv/Ci [T, Ls, k] the device-resident library
+    slabs (forward orientation: slab t's owner position p matches
+    partner position Ci[t, p, j] with posterior Cv[t, p, j]);
+    lane/t/flip/w [EC] the chunk: which score matrix, which slab, the
+    owner side (0 = owner is in the A child: slab rows are S rows), and
+    a 0/1 weight (0 = padding entry)."""
+    Bp, P, _ = S.shape
+    Ls, K = Cv.shape[1], Cv.shape[2]
+    v = Cv[t] * w[:, None, None]                       # [EC, Ls, k]
+    ci = jnp.clip(Ci[t], 0, P - 1)                     # [EC, Ls, k]
+    own_col = POS2COL[pair_a[t]][:, :Ls]               # [EC, Ls]
+    par_map = POS2COL[pair_b[t]]                       # [EC, P]
+    EC = v.shape[0]
+    par_col = jnp.take_along_axis(
+        par_map, ci.reshape(EC, Ls * K), axis=1
+    ).reshape(EC, Ls, K)
+    oc = jnp.broadcast_to(own_col[:, :, None], (EC, Ls, K))
+    f = flip[:, None, None]
+    r = jnp.where(f == 0, oc, par_col)
+    c = jnp.where(f == 0, par_col, oc)
+    flat = (lane[:, None, None] * P + r) * P + c
+    return (
+        S.reshape(-1).at[flat.reshape(-1)].add(v.reshape(-1)).reshape(S.shape)
+    )
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _lib_dp_merge(POS2COL, LN, S, blk, denom, mlane, mside, go, ge):
+    """DP + traceback on the accumulated score matrices, then remap
+    every member's position->column map through its merge's ops.
+
+    blk [Bp, 3] (slotA, slotB, slotOut); denom [Bp] = nA*nB; mlane [N]
+    the lane merging each member this level (0 for idle members);
+    mside [N] 0 = member is in the A child, 1 = B child, 2 = idle."""
+    ia, ib, iout = blk[:, 0], blk[:, 1], blk[:, 2]
+    P = POS2COL.shape[1]
+    S = S / denom[:, None, None]
+    ops_rev = _profile_ops_impl(S, LN[ia], LN[ib], go, ge)  # [Bp, 2P] int8
+
+    def maps_one(opsr):
+        T = opsr.shape[0]
+        opf = opsr[::-1]                    # forward order, 3s prefix
+        n = (opf != 3).sum()
+        idx = jnp.arange(T)
+        opc = jnp.where(idx < n, opf[jnp.clip(idx + (T - n), 0, T - 1)], 3)
+        takes_a = (opc == 0) | (opc == 1)
+        takes_b = (opc == 0) | (opc == 2)
+        ia_c = jnp.cumsum(takes_a) - 1
+        jb_c = jnp.cumsum(takes_b) - 1
+        # old column -> merged column: each real old column is written
+        # exactly once (with value idx >= 0); padding steps write 0 via
+        # max, which can never exceed a real merged index
+        mapA = jnp.zeros(P, jnp.int32).at[
+            jnp.where(takes_a, jnp.clip(ia_c, 0, P - 1), P - 1)
+        ].max(jnp.where(takes_a, idx, 0).astype(jnp.int32))
+        mapB = jnp.zeros(P, jnp.int32).at[
+            jnp.where(takes_b, jnp.clip(jb_c, 0, P - 1), P - 1)
+        ].max(jnp.where(takes_b, idx, 0).astype(jnp.int32))
+        return mapA, mapB, n.astype(jnp.int32)
+
+    mapA, mapB, n_new = jax.vmap(maps_one)(ops_rev)     # [Bp, P] x2, [Bp]
+
+    cur = jnp.clip(POS2COL, 0, P - 1)
+    remapA = jnp.take_along_axis(mapA[mlane], cur, axis=1)
+    remapB = jnp.take_along_axis(mapB[mlane], cur, axis=1)
+    side = mside[:, None]
+    POS2COL = jnp.where(
+        side == 0, remapA, jnp.where(side == 1, remapB, POS2COL)
+    )
+    LN = LN.at[iout].set(n_new)
+    return POS2COL, LN, ops_rev, n_new
+
+
+def build_library_schedule(node_levels, slot_of, n_internal_offset,
+                           pairs, n_seq, members_of):
+    """Host-side static schedule: which library pair fires at which
+    (level, lane, orientation), plus per-level member remap tables.
+
+    ``node_levels``: the levelized internal nodes (pipelines/msa.py::
+    _build_levels output); ``slot_of(node)`` the pool slot of a leaf or
+    internal node; ``pairs``: the library's (a, b) list; ``members_of``:
+    node -> list of member indices.  Each pair fires exactly once, at
+    the merge where its two members first share a profile."""
+    pending = {tid: ab for tid, ab in enumerate(pairs)}
+    comp = {m: ("leaf", m) for m in range(n_seq)}
+    schedule = []
+    for lv in node_levels:
+        lanes = []
+        entries = []
+        mlane = np.zeros(n_seq, np.int32)
+        mside = np.full(n_seq, 2, np.int32)
+        key_to_lane_side = {}
+        for lane_i, node in enumerate(lv):
+            a_child, b_child = node[0], node[1]
+            ka = comp[members_of(a_child)[0]]
+            kb = comp[members_of(b_child)[0]]
+            key_to_lane_side[ka] = (lane_i, 0)
+            key_to_lane_side[kb] = (lane_i, 1)
+            na, nb = len(members_of(a_child)), len(members_of(b_child))
+            lanes.append(
+                (slot_of(a_child), slot_of(b_child), slot_of(node),
+                 float(na * nb))
+            )
+            for m in members_of(a_child):
+                mlane[m], mside[m] = lane_i, 0
+            for m in members_of(b_child):
+                mlane[m], mside[m] = lane_i, 1
+        done = []
+        for tid, (a, b) in pending.items():
+            la = key_to_lane_side.get(comp[a])
+            lb = key_to_lane_side.get(comp[b])
+            if la is None or lb is None or la[0] != lb[0] or la[1] == lb[1]:
+                continue
+            # owner (slab row side) = a; flip when a sits in the B child
+            entries.append((la[0], tid, 1 if la[1] == 1 else 0))
+            done.append(tid)
+        for tid in done:
+            del pending[tid]
+        for node in lv:
+            key = ("node", id(node))
+            for m in members_of(node):
+                comp[m] = key
+        schedule.append((lanes, entries, mlane, mside))
+    return schedule
+
+
+def run_library_pool(schedule, Cv_d, Ci_d, pair_a, pair_b,
+                     leaf_len, n_internal, P, gap_open, gap_extend):
+    """Execute a library-mode level schedule on device.
+
+    Returns (ops_per_level, lengths_per_level) host arrays, or None on
+    overflow (a merge outgrew the padded length P) — the caller falls
+    back to the host scorer loop."""
+    N = leaf_len.shape[0]
+    M = N + n_internal + 1                      # +1 batch-padding dump slot
+    dump = M - 1
+    if Cv_d.shape[1] > P:
+        return None                             # slab rows would not map
+
+    POS2COL = jnp.broadcast_to(
+        jnp.arange(P, dtype=jnp.int32)[None, :], (N, P)
+    ) + jnp.zeros((N, 1), jnp.int32)            # materialized identity maps
+    LN = jnp.concatenate(
+        [jnp.asarray(leaf_len, dtype=jnp.int32),
+         jnp.zeros((M - N,), jnp.int32)]
+    )
+    pa = jnp.asarray(pair_a, dtype=jnp.int32)
+    pb = jnp.asarray(pair_b, dtype=jnp.int32)
+    go = jnp.float32(gap_open)
+    ge = jnp.float32(gap_extend)
+
+    Bmax = _pow2_batch(max(len(lanes) for lanes, _, _, _ in schedule))
+    EC = _pow2_batch(
+        min(_ENTRY_CHUNK,
+            max(1, max((len(e) for _, e, _, _ in schedule), default=1)))
+    )
+
+    import os
+    import time
+
+    timing = os.environ.get("GINFINITY_MSA_TIMING")
+    t0 = time.perf_counter()
+    ops_out, len_out, widths = [], [], []
+    for lanes, entries, mlane, mside in schedule:
+        B = len(lanes)
+        Bp = 1 if B == 1 else Bmax
+        blk = np.zeros((Bp, 3), np.int32)
+        denom = np.ones(Bp, np.float32)
+        for i, (sa, sb, so, dn) in enumerate(lanes):
+            blk[i] = (sa, sb, so)
+            denom[i] = dn
+        blk[B:] = (0, 0, dump)
+        S = jnp.zeros((Bp, P, P), jnp.float32)
+        for s in range(0, len(entries), EC):
+            chunk = entries[s : s + EC]
+            lane = np.zeros(EC, np.int32)
+            tid = np.zeros(EC, np.int32)
+            flip = np.zeros(EC, np.int32)
+            w = np.zeros(EC, np.float32)
+            for i, (ln, tt, fl) in enumerate(chunk):
+                lane[i], tid[i], flip[i], w[i] = ln, tt, fl, 1.0
+            S = _lib_accum(
+                S, POS2COL, Cv_d, Ci_d, pa, pb,
+                jnp.asarray(lane), jnp.asarray(tid),
+                jnp.asarray(flip), jnp.asarray(w),
+            )
+        POS2COL, LN, ops_rev, n_new = _lib_dp_merge(
+            POS2COL, LN, S, jnp.asarray(blk), jnp.asarray(denom),
+            jnp.asarray(mlane), jnp.asarray(mside), go, ge,
+        )
+        ops_out.append(ops_rev)                 # device refs — no sync
+        len_out.append(n_new)
+        widths.append((B, Bp))
+    t1 = time.perf_counter()
+
+    # ONE blocking download for the whole run (see profile_pool)
+    ops_all = np.asarray(jnp.concatenate(ops_out, axis=0))
+    len_all = np.asarray(jnp.concatenate(len_out))
+    t2 = time.perf_counter()
+    if timing:
+        print(f"[progressive detail] library pool enqueue {t1 - t0:.2f}s "
+              f"device+download {t2 - t1:.2f}s levels={len(schedule)}")
+
+    ops_host, lengths = [], []
+    off = 0
+    for B, Bp in widths:
+        ops_host.append(ops_all[off : off + B])
+        lengths.append(len_all[off : off + B])
+        off += Bp
+    if any(int(l.max(initial=0)) > P for l in lengths):
+        return None                             # overflow -> host fallback
+    return ops_host, lengths

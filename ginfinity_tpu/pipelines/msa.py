@@ -729,9 +729,10 @@ def consistency_rounds_to_distances_from_slabs(
         D[a, b] = D[b, a] = min(1.0, max(0.0, float(d)))
     if return_slabs:
         # library-mode progressive alignment consumes the transformed
-        # posteriors on host: one [P, Lmax, k] download (the only mode
-        # that pays for it)
-        return D, pairs, np.asarray(Cv_d[:P]), np.asarray(Ci_d[:P])
+        # posteriors — DEVICE refs: the library pool reads them in
+        # place; the host scorer (fallback/refinement) downloads lazily
+        # through PosteriorLibrary.by_pair
+        return D, pairs, Cv_d[:P], Ci_d[:P]
     return D
 
 
@@ -1010,14 +1011,34 @@ class PosteriorLibrary:
     row-top-k slab layout of the consistency engine: per pair (a, b) in
     FORWARD orientation, ``vals[i, t]`` is the posterior between a's
     position i and b's position ``idx[i, t]`` (zero entries unused).
+
+    When constructed with ``device_slabs`` (the [T, Lcap, k] device
+    arrays the consistency stage already holds), the host copy is
+    downloaded LAZILY — the device-resident library pool
+    (ops/library_pool.py) consumes the slabs in place, so the normal
+    library-mode run never pays the slab download at all; only the
+    host-scorer fallback and iterative refinement materialize it.
     """
 
-    def __init__(self, pairs, vals, idx, lengths):
-        self.by_pair = {}
-        for t, (a, b) in enumerate(pairs):
-            la = lengths[a]
-            self.by_pair[(a, b)] = (vals[t, :la], idx[t, :la])
+    def __init__(self, pairs, vals, idx, lengths, device_slabs=None):
+        self.pairs = list(pairs)
         self.lengths = lengths
+        self.device_slabs = device_slabs
+        self._vals = vals
+        self._idx = idx
+        self._by_pair: Optional[dict] = None
+
+    @property
+    def by_pair(self) -> dict:
+        if self._by_pair is None:
+            if self._vals is None:
+                self._vals = np.asarray(self.device_slabs[0])
+                self._idx = np.asarray(self.device_slabs[1])
+            self._by_pair = {}
+            for t, (a, b) in enumerate(self.pairs):
+                la = self.lengths[a]
+                self._by_pair[(a, b)] = (self._vals[t, :la], self._idx[t, :la])
+        return self._by_pair
 
     def score_matrix(self, A: "Profile", B: "Profile") -> np.ndarray:
         La = A.mu_struct.shape[0]
@@ -1237,16 +1258,86 @@ def _msa_from_tree_pool(tree, internals, seq_profiles, gap_open, gap_extend,
     return resolved[id(tree)]
 
 
+def _msa_from_tree_pool_library(tree, internals, seq_profiles, library,
+                                gap_open, gap_extend) -> Optional[Profile]:
+    """Device-resident library-mode progressive alignment
+    (ops/library_pool.py): scores come from the device-resident
+    posterior slabs through per-member position->column maps, so the
+    host enqueues all levels with no per-level round trips AND no slab
+    download.  Returns None when the library has no device slabs or a
+    merge outgrows the padded length (caller falls back to the host
+    scorer loop, which downloads the slabs lazily)."""
+    from ginfinity_tpu.ops.library_pool import (
+        build_library_schedule,
+        run_library_pool,
+    )
+    from ginfinity_tpu.ops.profile_pool import pool_padded_len
+
+    if getattr(library, "device_slabs", None) is None:
+        return None
+    N = len(seq_profiles)
+    lens = [p.mu_struct.shape[0] for p in seq_profiles]
+    P = pool_padded_len(max(lens))
+    if max(lens) > P:
+        return None
+
+    slot = {id(n): N + k for k, n in enumerate(internals)}
+
+    def slot_of(node):
+        return node if isinstance(node, int) else slot[id(node)]
+
+    members_cache: dict[int, list[int]] = {}
+
+    def members_of(node):
+        if isinstance(node, int):
+            return [node]
+        r = members_cache.get(id(node))
+        if r is None:
+            r = members_of(node[0]) + members_of(node[1])
+            members_cache[id(node)] = r
+        return r
+
+    node_levels = _build_levels(internals)
+    schedule = build_library_schedule(
+        node_levels, slot_of, N, library.pairs, N, members_of
+    )
+    pair_a = np.asarray([a for a, _ in library.pairs], np.int32)
+    pair_b = np.asarray([b for _, b in library.pairs], np.int32)
+    out = run_library_pool(
+        schedule, library.device_slabs[0], library.device_slabs[1],
+        pair_a, pair_b, np.asarray(lens, np.int32), len(internals), P,
+        gap_open, gap_extend,
+    )
+    if out is None:
+        return None
+    ops_levels, _ = out
+
+    resolved: dict[int, Profile] = {}
+
+    def get(node):
+        if isinstance(node, int):
+            return seq_profiles[node]
+        return resolved[id(node)]
+
+    for lv, ops_b in zip(node_levels, ops_levels):
+        for n, opsr in zip(lv, ops_b):
+            ops = opsr[opsr != 3][::-1]
+            resolved[id(n)] = _merge_from_ops(get(n[0]), get(n[1]), ops)
+    return resolved[id(tree)]
+
+
 def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
-                  scorer=None) -> Profile:
+                  scorer=None, library=None) -> Profile:
     """Progressive alignment, levelized: every round batches ALL merges
     whose children are ready into one device DP program (the tree depth,
     not the merge count, sets the number of sequential device round
     trips — a 50-leaf balanced tree runs ~6 rounds instead of 49).
 
     Profile-mode scoring (scorer=None) routes through the device-
-    resident pool (ops/profile_pool.py) — zero per-level round trips —
-    unless GINFINITY_MSA_POOL=0 or a merge outgrows the padded length."""
+    resident pool (ops/profile_pool.py), and library-mode scoring (a
+    ``library`` with device slabs) through ops/library_pool.py — zero
+    per-level round trips either way — unless GINFINITY_MSA_POOL=0 or a
+    merge outgrows the padded length."""
     from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops
 
     if isinstance(tree, int):
@@ -1263,7 +1354,8 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
 
     walk(tree)
 
-    if scorer is None and os.environ.get("GINFINITY_MSA_POOL", "1") != "0":
+    pool_env = os.environ.get("GINFINITY_MSA_POOL", "1") != "0"
+    if scorer is None and pool_env:
         t0 = time.perf_counter()
         prof = _msa_from_tree_pool(
             tree, internals, seq_profiles, gap_open, gap_extend, seq_weight
@@ -1275,6 +1367,19 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
             return prof
         if os.environ.get("GINFINITY_MSA_TIMING"):
             print("[progressive detail] pool overflow -> host path")
+    elif library is not None and pool_env:
+        t0 = time.perf_counter()
+        prof = _msa_from_tree_pool_library(
+            tree, internals, seq_profiles, library, gap_open, gap_extend
+        )
+        if prof is not None:
+            if os.environ.get("GINFINITY_MSA_TIMING"):
+                print(f"[progressive detail] library pool path "
+                      f"{time.perf_counter() - t0:.2f}s")
+            return prof
+        if os.environ.get("GINFINITY_MSA_TIMING"):
+            print("[progressive detail] library pool unavailable/overflow "
+                  "-> host scorer path")
 
     resolved: dict[int, Profile] = {}
 
@@ -1822,9 +1927,13 @@ def main(argv=None):
         if want_library:
             D, lib_pairs, lib_v, lib_i = out
             if lib_v is not None:
+                # lib_v/lib_i are DEVICE refs: the library pool consumes
+                # them in place; host download happens lazily only on
+                # fallback or refinement (PosteriorLibrary.by_pair)
                 library = PosteriorLibrary(
-                    lib_pairs, lib_v, lib_i,
+                    lib_pairs, None, None,
                     [r.emb.shape[0] for r in records],
+                    device_slabs=(lib_v, lib_i),
                 )
         else:
             D = out
@@ -1836,14 +1945,16 @@ def main(argv=None):
         import jax.numpy as jnp
 
         lib_pairs = [pr for chunk in pair_chunks for pr in chunk]
-        lib_v = np.concatenate(
-            [np.asarray(kv[: len(ch)]) for kv, ch in zip(slab_kv, pair_chunks)]
+        lib_v = jnp.concatenate(
+            [kv[: len(ch)] for kv, ch in zip(slab_kv, pair_chunks)]
         )
-        lib_i = np.concatenate(
-            [np.asarray(ki[: len(ch)]) for ki, ch in zip(slab_ki, pair_chunks)]
+        lib_i = jnp.concatenate(
+            [ki[: len(ch)].astype(jnp.int32)
+             for ki, ch in zip(slab_ki, pair_chunks)]
         )
         library = PosteriorLibrary(
-            lib_pairs, lib_v, lib_i, [r.emb.shape[0] for r in records]
+            lib_pairs, None, None, [r.emb.shape[0] for r in records],
+            device_slabs=(lib_v, lib_i),
         )
     t_stage = stage_done("consistency+distances", t_stage)
     tree = build_guide_tree(D, method=args.tree)
@@ -1865,7 +1976,8 @@ def main(argv=None):
 
     profiles = initial_profiles(records)
     aln = msa_from_tree(tree, profiles, dp_go, dp_ge,
-                        seq_weight=float(args.seq_weight), scorer=scorer)
+                        seq_weight=float(args.seq_weight), scorer=scorer,
+                        library=library)
     t_stage = stage_done("progressive_alignment", t_stage)
     refine_stats = None
     if args.refine_iters > 0 and N >= 3:

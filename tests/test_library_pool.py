@@ -1,0 +1,220 @@
+"""Device-resident library-mode progressive pool (ops/library_pool.py)
+must reproduce the host scorer loop exactly: same aligned rows, same
+lengths, for the same guide tree and library.
+
+Posterior values are drawn on a 1/64 grid so host float64 accumulation
+(PosteriorLibrary.score_matrix's np.bincount) and the pool's f32
+scatter-adds are bit-identical — parity failures are then real
+scheduling/indexing bugs, never accumulation-order noise."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _random_library(rng, lens, k=5, coverage=1.0):
+    """Random sparse slabs in the consistency engine's forward layout."""
+    from ginfinity_tpu.graphs.batching import _round_capacity
+
+    N = len(lens)
+    Lcap = _round_capacity(max(lens))
+    pairs = [
+        (a, b) for a in range(N) for b in range(a + 1, N)
+        if rng.random() < coverage
+    ]
+    T = len(pairs)
+    vals = np.zeros((T, Lcap, k), np.float32)
+    idx = np.zeros((T, Lcap, k), np.int32)
+    for t, (a, b) in enumerate(pairs):
+        la, lb = lens[a], lens[b]
+        v = rng.integers(0, 64, size=(la, k)).astype(np.float32) / 64.0
+        v *= rng.random(size=(la, k)) < 0.6          # sparse zeros
+        vals[t, :la] = v
+        idx[t, :la] = rng.integers(0, lb, size=(la, k))
+    return pairs, vals, idx, Lcap
+
+
+def _family(rng, n=7, lo=15, hi=30, dim=8):
+    from ginfinity_tpu.pipelines.msa import SequenceRecord, initial_profiles
+
+    recs = []
+    for i in range(n):
+        L = int(rng.integers(lo, hi + 1))
+        emb = rng.normal(size=(L, dim)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True) + 1e-8
+        db = "".join(rng.choice(list("().")) for _ in range(L))
+        recs.append(SequenceRecord(name=f"s{i}", emb=emb, dotbracket=db))
+    return initial_profiles(recs)
+
+
+def _tree(rng, n):
+    from ginfinity_tpu.pipelines.msa import build_guide_tree
+
+    D = rng.random((n, n)).astype(np.float32)
+    D = (D + D.T) / 2
+    np.fill_diagonal(D, 0.0)
+    return build_guide_tree(D, method="nj")
+
+
+def _align(profiles, tree, library, scorer, pool: bool, go=0.0, ge=0.0):
+    from ginfinity_tpu.pipelines.msa import msa_from_tree
+
+    os.environ["GINFINITY_MSA_POOL"] = "1" if pool else "0"
+    try:
+        return msa_from_tree(
+            tree, profiles, go, ge, scorer=scorer,
+            library=library if pool else None,
+        )
+    finally:
+        os.environ.pop("GINFINITY_MSA_POOL", None)
+
+
+def _assert_profiles_equal(a, b):
+    assert sorted(a.member_indices) == sorted(b.member_indices)
+    assert len(a.stem) == len(b.stem), "column counts differ"
+    for m in a.member_indices:
+        assert bytes(a.aligned_chars[m]) == bytes(b.aligned_chars[m]), m
+
+
+class TestLibraryPoolParity:
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_matches_host_scorer_loop(self, seed):
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.pipelines.msa import PosteriorLibrary
+
+        rng = np.random.default_rng(seed)
+        profiles = _family(rng)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        pairs, vals, idx, _ = _random_library(rng, lens)
+        tree = _tree(rng, len(profiles))
+
+        host_lib = PosteriorLibrary(pairs, vals, idx, lens)
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        host = _align(profiles, tree, None, host_lib.score_matrix, pool=False)
+        pool = _align(profiles, tree, dev_lib, dev_lib.score_matrix, pool=True)
+        _assert_profiles_equal(host, pool)
+
+    def test_nonzero_gap_costs(self):
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.pipelines.msa import PosteriorLibrary
+
+        rng = np.random.default_rng(7)
+        profiles = _family(rng, n=6)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        pairs, vals, idx, _ = _random_library(rng, lens)
+        tree = _tree(rng, len(profiles))
+        host_lib = PosteriorLibrary(pairs, vals, idx, lens)
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        host = _align(profiles, tree, None, host_lib.score_matrix,
+                      pool=False, go=-0.25, ge=-0.125)
+        pool = _align(profiles, tree, dev_lib, dev_lib.score_matrix,
+                      pool=True, go=-0.25, ge=-0.125)
+        _assert_profiles_equal(host, pool)
+
+    def test_sparse_pair_coverage(self):
+        """kNN-capped libraries leave many merges with zero spanning
+        pairs (all-zero score matrices) — both paths must agree."""
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.pipelines.msa import PosteriorLibrary
+
+        rng = np.random.default_rng(11)
+        profiles = _family(rng, n=8)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        pairs, vals, idx, _ = _random_library(rng, lens, coverage=0.3)
+        if not pairs:
+            pytest.skip("empty library draw")
+        tree = _tree(rng, len(profiles))
+        host_lib = PosteriorLibrary(pairs, vals, idx, lens)
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        host = _align(profiles, tree, None, host_lib.score_matrix, pool=False)
+        pool = _align(profiles, tree, dev_lib, dev_lib.score_matrix, pool=True)
+        _assert_profiles_equal(host, pool)
+
+    def test_entry_chunking(self, monkeypatch):
+        """Levels with more spanning pairs than one accumulation chunk
+        must split across _lib_accum calls without changing the result."""
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.ops import library_pool
+        from ginfinity_tpu.pipelines.msa import PosteriorLibrary
+
+        monkeypatch.setattr(library_pool, "_ENTRY_CHUNK", 2)
+        rng = np.random.default_rng(13)
+        profiles = _family(rng, n=7)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        pairs, vals, idx, _ = _random_library(rng, lens)
+        tree = _tree(rng, len(profiles))
+        host_lib = PosteriorLibrary(pairs, vals, idx, lens)
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        host = _align(profiles, tree, None, host_lib.score_matrix, pool=False)
+        pool = _align(profiles, tree, dev_lib, dev_lib.score_matrix, pool=True)
+        _assert_profiles_equal(host, pool)
+
+    def test_lazy_download_not_triggered_by_pool(self):
+        """The pool path must never materialize the host slab copy."""
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.pipelines.msa import PosteriorLibrary
+
+        rng = np.random.default_rng(17)
+        profiles = _family(rng, n=5)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        pairs, vals, idx, _ = _random_library(rng, lens)
+        tree = _tree(rng, len(profiles))
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        _align(profiles, tree, dev_lib, dev_lib.score_matrix, pool=True)
+        assert dev_lib._by_pair is None and dev_lib._vals is None
+
+    def test_cli_pool_matches_host(self, tmp_path):
+        """Whole-pipeline check: ginfinity-embed-msa --dp-score library
+        with the pool on vs GINFINITY_MSA_POOL=0 writes identical
+        alignments (covers the device-slab handoff in main())."""
+        import json
+
+        import pandas as pd
+
+        from ginfinity_tpu.pipelines.msa import main as msa_main
+
+        rng = np.random.default_rng(23)
+        base = rng.normal(size=(40, 12)).astype(np.float32)
+        rows = []
+        for s in range(6):
+            L = int(rng.integers(32, 41))
+            emb = base[:L] + 0.1 * rng.normal(size=(L, 12)).astype(np.float32)
+            rows.append({"Name": f"s{s}",
+                         "node_embeddings": json.dumps(emb.round(4).tolist())})
+        inp = tmp_path / "fam.tsv"
+        pd.DataFrame(rows).to_csv(inp, sep="\t", index=False)
+
+        def run(tag, pool):
+            os.environ["GINFINITY_MSA_POOL"] = "1" if pool else "0"
+            try:
+                msa_main(["--input", str(inp),
+                          "--out-prefix", str(tmp_path / tag / "msa"),
+                          "--alpha", "5", "--beta", "0",
+                          "--consistency-rounds", "1",
+                          "--dp-score", "library", "--refine-iters", "0"])
+            finally:
+                os.environ.pop("GINFINITY_MSA_POOL", None)
+            return (tmp_path / tag / "msa.fasta").read_text()
+
+        assert run("pool", True) == run("host", False)
