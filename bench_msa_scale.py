@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--max-pairs", type=int, default=2000,
                     help="kNN pair cap (pass >= n*(n-1)/2 for all pairs)")
     ap.add_argument("--data-parallel", action="store_true")
+    ap.add_argument("--dp-score", choices=["profile", "library"],
+                    default="profile",
+                    help="progressive scoring mode (library = the "
+                         "T-Coffee-correct quality mode, device pool)")
     args = ap.parse_args()
 
     env = dict(os.environ)
@@ -64,6 +68,7 @@ def main():
             "--input", tsv, "--out-prefix", os.path.join(td, "out", "msa"),
             "--alpha", "5", "--beta", "0", "--topk", "20",
             "--consistency-rounds", "1", "--max-pairs", str(args.max_pairs),
+            "--dp-score", args.dp_score,
         ]
         if args.data_parallel:
             cmd.append("--data-parallel")
@@ -76,6 +81,7 @@ def main():
         stages = dict(re.findall(r"\[([\w+]+)\] ([0-9.]+)s", proc.stdout))
         print(json.dumps({
             "n": args.n, "lmax": args.lmax,
+            "dp_score": args.dp_score,
             "tiled_forced": args.tiled,
             "end_to_end_sec": round(wall, 1),
             "stage_sec": {k: float(v) for k, v in stages.items()},

@@ -143,6 +143,40 @@ def _lib_dp_merge(POS2COL, LN, S, blk, denom, mlane, mside, go, ge):
     return POS2COL, LN, ops_rev, n_new
 
 
+def accumulate_pair_scores(Cv_d, Ci_d, pair_a, pair_b, pos2col,
+                           entries, P):
+    """Score ONE merge's [P, P] library matrix on device.
+
+    Single-merge entry point reusing ``_lib_accum`` at lane 0, for the
+    call sites the level schedule does not cover: iterative-refinement
+    re-merges and the pool-overflow fallback
+    (pipelines/msa.py::PosteriorLibrary._score_matrix_device).
+    ``entries`` is ``[(slab_t, flip)]`` with the same orientation
+    convention as one schedule level's entry list; ``pos2col`` [N, P]
+    is the CURRENT position->column map for every member (identity
+    rows for members outside the merge are harmless — their slabs are
+    not in ``entries``).  Returns the UN-normalised [P, P] device
+    accumulator; the caller divides by nA*nB and crops."""
+    S = jnp.zeros((1, P, P), jnp.float32)
+    if not entries:
+        return S[0]
+    EC = _pow2_batch(min(_ENTRY_CHUNK, len(entries)))
+    for s in range(0, len(entries), EC):
+        chunk = entries[s : s + EC]
+        lane = np.zeros(EC, np.int32)
+        tid = np.zeros(EC, np.int32)
+        flip = np.zeros(EC, np.int32)
+        w = np.zeros(EC, np.float32)
+        for i, (tt, fl) in enumerate(chunk):
+            tid[i], flip[i], w[i] = tt, fl, 1.0
+        S = _lib_accum(
+            S, pos2col, Cv_d, Ci_d, pair_a, pair_b,
+            jnp.asarray(lane), jnp.asarray(tid),
+            jnp.asarray(flip), jnp.asarray(w),
+        )
+    return S[0]
+
+
 def build_library_schedule(node_levels, slot_of, n_internal_offset,
                            pairs, n_seq, members_of):
     """Host-side static schedule: which library pair fires at which

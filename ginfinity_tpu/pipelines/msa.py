@@ -1027,6 +1027,7 @@ class PosteriorLibrary:
         self._vals = vals
         self._idx = idx
         self._by_pair: Optional[dict] = None
+        self._pair_arrays = None  # device (pair_a, pair_b), built lazily
 
     @property
     def by_pair(self) -> dict:
@@ -1041,6 +1042,61 @@ class PosteriorLibrary:
         return self._by_pair
 
     def score_matrix(self, A: "Profile", B: "Profile") -> np.ndarray:
+        """Library score matrix for merging profiles A and B.
+
+        With device slabs resident, the scatter-accumulate runs on
+        device (one [1, P, P] program reusing the library pool's
+        accumulator — iterative refinement and the pool-overflow
+        fallback both stay off the host scorer loop); otherwise the
+        host loop below is the reference implementation and the
+        parity oracle (tests/test_library_pool.py)."""
+        if self.device_slabs is not None:
+            out = self._score_matrix_device(A, B)
+            if out is not None:
+                return out
+        return self._score_matrix_host(A, B)
+
+    def _score_matrix_device(self, A: "Profile",
+                             B: "Profile") -> Optional[np.ndarray]:
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.graphs.batching import _round_capacity
+        from ginfinity_tpu.ops.library_pool import accumulate_pair_scores
+
+        La = A.mu_struct.shape[0]
+        Lb = B.mu_struct.shape[0]
+        in_a = set(A.member_indices)
+        in_b = set(B.member_indices)
+        entries = []
+        for t, (a, b) in enumerate(self.pairs):
+            if a in in_a and b in in_b:
+                entries.append((t, 0))
+            elif a in in_b and b in in_a:
+                entries.append((t, 1))
+        Ls = int(self.device_slabs[0].shape[1])
+        P = _round_capacity(max(La, Lb, Ls))
+        n_seq = len(self.lengths)
+        pos2col = np.tile(np.arange(P, dtype=np.int32), (n_seq, 1))
+        for x in A.member_indices:
+            cols = _member_pos_to_col(A.aligned_chars[x])
+            pos2col[x, : cols.size] = cols
+        for y in B.member_indices:
+            cols = _member_pos_to_col(B.aligned_chars[y])
+            pos2col[y, : cols.size] = cols
+        if self._pair_arrays is None:
+            self._pair_arrays = (
+                jnp.asarray(np.asarray([a for a, _ in self.pairs], np.int32)),
+                jnp.asarray(np.asarray([b for _, b in self.pairs], np.int32)),
+            )
+        S = accumulate_pair_scores(
+            self.device_slabs[0], self.device_slabs[1],
+            self._pair_arrays[0], self._pair_arrays[1],
+            jnp.asarray(pos2col), entries, P,
+        )
+        denom = len(A.member_indices) * len(B.member_indices)
+        return (np.asarray(S)[:La, :Lb] / denom).astype(np.float32)
+
+    def _score_matrix_host(self, A: "Profile", B: "Profile") -> np.ndarray:
         La = A.mu_struct.shape[0]
         Lb = B.mu_struct.shape[0]
         flat = np.zeros(La * Lb, np.float64)

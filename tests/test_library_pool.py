@@ -184,6 +184,56 @@ class TestLibraryPoolParity:
         _align(profiles, tree, dev_lib, dev_lib.score_matrix, pool=True)
         assert dev_lib._by_pair is None and dev_lib._vals is None
 
+class TestDeviceScoreMatrix:
+    """PosteriorLibrary._score_matrix_device (the single-merge device
+    scorer used by iterative refinement and the pool-overflow fallback)
+    must reproduce the host np.bincount loop."""
+
+    def test_every_merge_scored_on_device_matches_host(self):
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.pipelines.msa import PosteriorLibrary
+
+        rng = np.random.default_rng(29)
+        profiles = _family(rng)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        pairs, vals, idx, _ = _random_library(rng, lens)
+        tree = _tree(rng, len(profiles))
+        host_lib = PosteriorLibrary(pairs, vals, idx, lens)
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        # pool=False routes EVERY merge through scorer(a, b)
+        host = _align(profiles, tree, None, host_lib.score_matrix, pool=False)
+        dev = _align(profiles, tree, None, dev_lib.score_matrix, pool=False)
+        _assert_profiles_equal(host, dev)
+        # and the device scorer must never download the slabs
+        assert dev_lib._vals is None and dev_lib._by_pair is None
+
+    def test_matrix_values_match_host(self):
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.pipelines.msa import (
+            PosteriorLibrary, merge_profiles,
+        )
+
+        rng = np.random.default_rng(31)
+        profiles = _family(rng, n=4)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        pairs, vals, idx, _ = _random_library(rng, lens)
+        host_lib = PosteriorLibrary(pairs, vals, idx, lens)
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        A = merge_profiles(profiles[0], profiles[1], -0.5, -0.1)
+        B = merge_profiles(profiles[2], profiles[3], -0.5, -0.1)
+        Sh = host_lib._score_matrix_host(A, B)
+        Sd = dev_lib._score_matrix_device(A, B)
+        assert Sd.shape == Sh.shape
+        np.testing.assert_allclose(Sd, Sh, atol=1e-6)
+
     def test_cli_pool_matches_host(self, tmp_path):
         """Whole-pipeline check: ginfinity-embed-msa --dp-score library
         with the pool on vs GINFINITY_MSA_POOL=0 writes identical
