@@ -143,6 +143,30 @@ def _lib_dp_merge(POS2COL, LN, S, blk, denom, mlane, mside, go, ge):
     return POS2COL, LN, ops_rev, n_new
 
 
+@jax.jit
+def _lib_merge_ops(S, denom, l1, l2, go, ge):
+    """Normalize one accumulated [P, P] score matrix and run the
+    profile DP + value traceback on it in place — the device-fused tail
+    of PosteriorLibrary.merge_ops.  Returns [2P] int8 op codes in
+    traceback order (3 = padding)."""
+    return _profile_ops_impl(S[None] / denom, l1[None], l2[None], go, ge)[0]
+
+
+def merge_ops_from_scores(S, denom, l1, l2, gap_open, gap_extend):
+    """Host wrapper: device DP on an accumulated score matrix, download
+    ONLY the op codes (2P bytes instead of the P*P*4-byte matrix that
+    profile_align_batch_ops would re-upload).  Returns forward-order op
+    codes (0 match, 1 gap-in-B, 2 gap-in-A) as np.int8."""
+    opsr = np.asarray(
+        _lib_merge_ops(
+            S, jnp.float32(denom),
+            jnp.int32(l1), jnp.int32(l2),
+            jnp.float32(gap_open), jnp.float32(gap_extend),
+        )
+    )
+    return opsr[opsr != 3][::-1].copy()
+
+
 def accumulate_pair_scores(Cv_d, Ci_d, pair_a, pair_b, pos2col,
                            entries, P):
     """Score ONE merge's [P, P] library matrix on device.

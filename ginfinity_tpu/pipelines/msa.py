@@ -1056,8 +1056,9 @@ class PosteriorLibrary:
                 return out
         return self._score_matrix_host(A, B)
 
-    def _score_matrix_device(self, A: "Profile",
-                             B: "Profile") -> Optional[np.ndarray]:
+    def _accumulate_device(self, A: "Profile", B: "Profile"):
+        """Scatter one merge's library scores on device.  Returns the
+        UN-normalised [P, P] device accumulator plus (La, Lb, denom)."""
         import jax.numpy as jnp
 
         from ginfinity_tpu.graphs.batching import _round_capacity
@@ -1094,7 +1095,27 @@ class PosteriorLibrary:
             jnp.asarray(pos2col), entries, P,
         )
         denom = len(A.member_indices) * len(B.member_indices)
+        return S, La, Lb, denom
+
+    def _score_matrix_device(self, A: "Profile",
+                             B: "Profile") -> Optional[np.ndarray]:
+        S, La, Lb, denom = self._accumulate_device(A, B)
         return (np.asarray(S)[:La, :Lb] / denom).astype(np.float32)
+
+    def merge_ops(self, A: "Profile", B: "Profile", gap_open, gap_extend):
+        """Device-FUSED score + profile DP for one merge: the library
+        scatter and the DP/traceback run back-to-back on device and only
+        [2P] int8 op codes cross the link (vs score_matrix's [La, Lb]
+        f32 download that profile_align_batch_ops then re-uploads).
+        Used by iterative refinement; returns forward-order op codes, or
+        None when no device slabs are resident (host scorer + batched DP
+        is the fallback)."""
+        if self.device_slabs is None:
+            return None
+        from ginfinity_tpu.ops.library_pool import merge_ops_from_scores
+
+        S, La, Lb, denom = self._accumulate_device(A, B)
+        return merge_ops_from_scores(S, denom, La, Lb, gap_open, gap_extend)
 
     def _score_matrix_host(self, A: "Profile", B: "Profile") -> np.ndarray:
         La = A.mu_struct.shape[0]
@@ -1579,8 +1600,13 @@ def iterative_refinement(
     gap_extend: float,
     seq_weight: float = 0.0,
     scorer=None,
+    merge_ops_fn=None,
 ) -> tuple[Profile, dict]:
-    """Split-and-realign refinement; returns (best alignment, stats)."""
+    """Split-and-realign refinement; returns (best alignment, stats).
+
+    ``merge_ops_fn(A, B, go, ge)`` (PosteriorLibrary.merge_ops) is the
+    device-fused scorer+DP fast path; when it returns None (or is not
+    given) each realign scores via ``scorer`` + the batched DP."""
     best = aln
     best_score = sp_score(best, seq_profiles)
     stats = {"sp_initial": best_score, "accepted": 0, "iters": max(0, int(iters))}
@@ -1598,9 +1624,14 @@ def iterative_refinement(
         A = extract_subprofile(best, part_a, seq_profiles)
         B = extract_subprofile(best, part_b, seq_profiles)
         if scorer is not None:
-            from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops
+            ops = (merge_ops_fn(A, B, gap_open, gap_extend)
+                   if merge_ops_fn is not None else None)
+            if ops is None:
+                from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops
 
-            ops = profile_align_batch_ops([scorer(A, B)], gap_open, gap_extend)[0]
+                ops = profile_align_batch_ops(
+                    [scorer(A, B)], gap_open, gap_extend
+                )[0]
             cand = _merge_from_ops(A, B, ops)
         else:
             cand = merge_profiles(A, B, gap_open, gap_extend, seq_weight)
@@ -2041,6 +2072,7 @@ def main(argv=None):
         aln, refine_stats = iterative_refinement(
             aln, profiles, args.refine_iters, np.random.default_rng(args.seed),
             dp_go, dp_ge, seq_weight=float(args.seq_weight), scorer=scorer,
+            merge_ops_fn=library.merge_ops if library is not None else None,
         )
 
     diagnostics: dict[str, Any] = {

@@ -234,6 +234,68 @@ class TestDeviceScoreMatrix:
         assert Sd.shape == Sh.shape
         np.testing.assert_allclose(Sd, Sh, atol=1e-6)
 
+    def test_merge_ops_fused_matches_host_scorer_plus_dp(self):
+        """PosteriorLibrary.merge_ops (device-fused score+DP, op codes
+        only over the link) must yield the same op sequence as the host
+        scorer + profile_align_batch_ops round trip."""
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops
+        from ginfinity_tpu.pipelines.msa import (
+            PosteriorLibrary, merge_profiles,
+        )
+
+        rng = np.random.default_rng(37)
+        profiles = _family(rng, n=4)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        pairs, vals, idx, _ = _random_library(rng, lens)
+        host_lib = PosteriorLibrary(pairs, vals, idx, lens)
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        A = merge_profiles(profiles[0], profiles[1], -0.5, -0.1)
+        B = merge_profiles(profiles[2], profiles[3], -0.5, -0.1)
+        for go, ge in [(0.0, 0.0), (-0.25, -0.125)]:
+            want = profile_align_batch_ops(
+                [host_lib._score_matrix_host(A, B)], go, ge
+            )[0]
+            got = dev_lib.merge_ops(A, B, go, ge)
+            np.testing.assert_array_equal(got, want)
+        assert host_lib.merge_ops(A, B, 0.0, 0.0) is None  # no slabs
+
+    def test_refinement_fused_matches_host(self):
+        """iterative_refinement with the fused merge_ops path must
+        produce the same accepted alignments as the host scorer path."""
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.pipelines.msa import (
+            PosteriorLibrary, iterative_refinement,
+        )
+
+        rng = np.random.default_rng(41)
+        profiles = _family(rng)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        pairs, vals, idx, _ = _random_library(rng, lens)
+        tree = _tree(rng, len(profiles))
+        host_lib = PosteriorLibrary(pairs, vals, idx, lens)
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        aln = _align(profiles, tree, None, host_lib.score_matrix, pool=False)
+        host_ref, host_stats = iterative_refinement(
+            aln, profiles, 4, np.random.default_rng(3), 0.0, 0.0,
+            scorer=host_lib.score_matrix,
+        )
+        dev_ref, dev_stats = iterative_refinement(
+            aln, profiles, 4, np.random.default_rng(3), 0.0, 0.0,
+            scorer=dev_lib.score_matrix, merge_ops_fn=dev_lib.merge_ops,
+        )
+        assert host_stats == dev_stats
+        _assert_profiles_equal(host_ref, dev_ref)
+        assert dev_lib._vals is None and dev_lib._by_pair is None
+
     def test_cli_pool_matches_host(self, tmp_path):
         """Whole-pipeline check: ginfinity-embed-msa --dp-score library
         with the pool on vs GINFINITY_MSA_POOL=0 writes identical
