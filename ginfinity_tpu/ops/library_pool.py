@@ -145,45 +145,49 @@ def _lib_dp_merge(POS2COL, LN, S, blk, denom, mlane, mside, go, ge):
 
 @jax.jit
 def _lib_merge_ops(S, denom, l1, l2, go, ge):
-    """Normalize one accumulated [P, P] score matrix and run the
-    profile DP + value traceback on it in place — the device-fused tail
-    of PosteriorLibrary.merge_ops.  Returns [2P] int8 op codes in
-    traceback order (3 = padding)."""
-    return _profile_ops_impl(S[None] / denom, l1[None], l2[None], go, ge)[0]
+    """Normalize accumulated [B, P, P] score matrices and run the
+    profile DP + value traceback on them in place — the device-fused
+    tail of PosteriorLibrary.merge_ops / merge_ops_level.  Returns
+    [B, 2P] int8 op codes in traceback order (3 = padding)."""
+    return _profile_ops_impl(S / denom[:, None, None], l1, l2, go, ge)
 
 
 def merge_ops_from_scores(S, denom, l1, l2, gap_open, gap_extend):
-    """Host wrapper: device DP on an accumulated score matrix, download
-    ONLY the op codes (2P bytes instead of the P*P*4-byte matrix that
-    profile_align_batch_ops would re-upload).  Returns forward-order op
-    codes (0 match, 1 gap-in-B, 2 gap-in-A) as np.int8."""
-    opsr = np.asarray(
+    """Host wrapper: device DP on accumulated score matrices, download
+    ONLY the op codes (2P bytes per merge instead of the P*P*4-byte
+    matrix that profile_align_batch_ops would re-upload).  ``S`` is
+    [B, P, P]; ``denom``/``l1``/``l2`` are length-B sequences.  Returns
+    a list of forward-order op arrays (0 match, 1 gap-in-B, 2 gap-in-A,
+    np.int8)."""
+    ops = np.asarray(
         _lib_merge_ops(
-            S, jnp.float32(denom),
-            jnp.int32(l1), jnp.int32(l2),
+            S, jnp.asarray(denom, jnp.float32),
+            jnp.asarray(l1, jnp.int32), jnp.asarray(l2, jnp.int32),
             jnp.float32(gap_open), jnp.float32(gap_extend),
         )
     )
-    return opsr[opsr != 3][::-1].copy()
+    return [row[row != 3][::-1].copy() for row in ops]
 
 
 def accumulate_pair_scores(Cv_d, Ci_d, pair_a, pair_b, pos2col,
-                           entries, P):
-    """Score ONE merge's [P, P] library matrix on device.
+                           entries, P, n_lanes=1):
+    """Score one LEVEL of merges' [n_lanes, P, P] library matrices on
+    device.
 
-    Single-merge entry point reusing ``_lib_accum`` at lane 0, for the
-    call sites the level schedule does not cover: iterative-refinement
-    re-merges and the pool-overflow fallback
-    (pipelines/msa.py::PosteriorLibrary._score_matrix_device).
-    ``entries`` is ``[(slab_t, flip)]`` with the same orientation
-    convention as one schedule level's entry list; ``pos2col`` [N, P]
-    is the CURRENT position->column map for every member (identity
-    rows for members outside the merge are harmless — their slabs are
-    not in ``entries``).  Returns the UN-normalised [P, P] device
-    accumulator; the caller divides by nA*nB and crops."""
-    S = jnp.zeros((1, P, P), jnp.float32)
+    Entry point reusing ``_lib_accum`` for the call sites the level
+    schedule does not cover: iterative-refinement re-merges (one lane)
+    and the pool-overflow fallback's ready-merge batches
+    (pipelines/msa.py::PosteriorLibrary).  ``entries`` is
+    ``[(lane, slab_t, flip)]`` with the same orientation convention as
+    one schedule level's entry list; ``pos2col`` [N, P] is the CURRENT
+    position->column map for every member (identity rows for members
+    outside the level are harmless — their slabs are not in
+    ``entries``).  Returns the UN-normalised [n_lanes, P, P] device
+    accumulator; the caller divides by each merge's nA*nB and crops."""
+    Bp = 1 if n_lanes == 1 else _pow2_batch(n_lanes)
+    S = jnp.zeros((Bp, P, P), jnp.float32)
     if not entries:
-        return S[0]
+        return S
     EC = _pow2_batch(min(_ENTRY_CHUNK, len(entries)))
     for s in range(0, len(entries), EC):
         chunk = entries[s : s + EC]
@@ -191,14 +195,14 @@ def accumulate_pair_scores(Cv_d, Ci_d, pair_a, pair_b, pos2col,
         tid = np.zeros(EC, np.int32)
         flip = np.zeros(EC, np.int32)
         w = np.zeros(EC, np.float32)
-        for i, (tt, fl) in enumerate(chunk):
-            tid[i], flip[i], w[i] = tt, fl, 1.0
+        for i, (ln, tt, fl) in enumerate(chunk):
+            lane[i], tid[i], flip[i], w[i] = ln, tt, fl, 1.0
         S = _lib_accum(
             S, pos2col, Cv_d, Ci_d, pair_a, pair_b,
             jnp.asarray(lane), jnp.asarray(tid),
             jnp.asarray(flip), jnp.asarray(w),
         )
-    return S[0]
+    return S
 
 
 def build_library_schedule(node_levels, slot_of, n_internal_offset,

@@ -1056,34 +1056,45 @@ class PosteriorLibrary:
                 return out
         return self._score_matrix_host(A, B)
 
-    def _accumulate_device(self, A: "Profile", B: "Profile"):
-        """Scatter one merge's library scores on device.  Returns the
-        UN-normalised [P, P] device accumulator plus (La, Lb, denom)."""
+    def _accumulate_device(self, merges: list[tuple["Profile", "Profile"]]):
+        """Scatter one LEVEL of merges' library scores on device.
+
+        ``merges`` may be any set of (A, B) pairs with disjoint member
+        sets (one tree level, or a single refinement realign).  Returns
+        the UN-normalised [Bp, P, P] device accumulator plus the
+        per-merge (La, Lb, denom) lists."""
         import jax.numpy as jnp
 
         from ginfinity_tpu.graphs.batching import _round_capacity
         from ginfinity_tpu.ops.library_pool import accumulate_pair_scores
 
-        La = A.mu_struct.shape[0]
-        Lb = B.mu_struct.shape[0]
-        in_a = set(A.member_indices)
-        in_b = set(B.member_indices)
+        las = [A.mu_struct.shape[0] for A, _ in merges]
+        lbs = [B.mu_struct.shape[0] for _, B in merges]
+        denoms = [len(A.member_indices) * len(B.member_indices)
+                  for A, B in merges]
+        side_of = {}          # member -> (lane, 0=A/1=B)
+        for lane, (A, B) in enumerate(merges):
+            for x in A.member_indices:
+                side_of[x] = (lane, 0)
+            for y in B.member_indices:
+                side_of[y] = (lane, 1)
         entries = []
         for t, (a, b) in enumerate(self.pairs):
-            if a in in_a and b in in_b:
-                entries.append((t, 0))
-            elif a in in_b and b in in_a:
-                entries.append((t, 1))
+            sa = side_of.get(a)
+            sb = side_of.get(b)
+            if sa is None or sb is None or sa[0] != sb[0] or sa[1] == sb[1]:
+                continue
+            # owner (slab row side) = a; flip when a sits in the B child
+            entries.append((sa[0], t, 1 if sa[1] == 1 else 0))
         Ls = int(self.device_slabs[0].shape[1])
-        P = _round_capacity(max(La, Lb, Ls))
+        P = _round_capacity(max(max(las), max(lbs), Ls))
         n_seq = len(self.lengths)
         pos2col = np.tile(np.arange(P, dtype=np.int32), (n_seq, 1))
-        for x in A.member_indices:
-            cols = _member_pos_to_col(A.aligned_chars[x])
-            pos2col[x, : cols.size] = cols
-        for y in B.member_indices:
-            cols = _member_pos_to_col(B.aligned_chars[y])
-            pos2col[y, : cols.size] = cols
+        for A, B in merges:
+            for prof in (A, B):
+                for x in prof.member_indices:
+                    cols = _member_pos_to_col(prof.aligned_chars[x])
+                    pos2col[x, : cols.size] = cols
         if self._pair_arrays is None:
             self._pair_arrays = (
                 jnp.asarray(np.asarray([a for a, _ in self.pairs], np.int32)),
@@ -1092,15 +1103,16 @@ class PosteriorLibrary:
         S = accumulate_pair_scores(
             self.device_slabs[0], self.device_slabs[1],
             self._pair_arrays[0], self._pair_arrays[1],
-            jnp.asarray(pos2col), entries, P,
+            jnp.asarray(pos2col), entries, P, n_lanes=len(merges),
         )
-        denom = len(A.member_indices) * len(B.member_indices)
-        return S, La, Lb, denom
+        return S, las, lbs, denoms
 
     def _score_matrix_device(self, A: "Profile",
                              B: "Profile") -> Optional[np.ndarray]:
-        S, La, Lb, denom = self._accumulate_device(A, B)
-        return (np.asarray(S)[:La, :Lb] / denom).astype(np.float32)
+        S, las, lbs, denoms = self._accumulate_device([(A, B)])
+        return (
+            np.asarray(S[0])[: las[0], : lbs[0]] / denoms[0]
+        ).astype(np.float32)
 
     def merge_ops(self, A: "Profile", B: "Profile", gap_open, gap_extend):
         """Device-FUSED score + profile DP for one merge: the library
@@ -1110,12 +1122,29 @@ class PosteriorLibrary:
         Used by iterative refinement; returns forward-order op codes, or
         None when no device slabs are resident (host scorer + batched DP
         is the fallback)."""
-        if self.device_slabs is None:
+        ops = self.merge_ops_level([(A, B)], gap_open, gap_extend)
+        return None if ops is None else ops[0]
+
+    def merge_ops_level(self, merges, gap_open, gap_extend):
+        """Batched fused score+DP for one level of ready merges (the
+        pool-overflow fallback in msa_from_tree): one accumulator
+        program + one batched DP program per level, only op codes over
+        the link.  Returns a list of forward-order op arrays aligned
+        with ``merges``, or None when no device slabs are resident."""
+        if self.device_slabs is None or not merges:
             return None
         from ginfinity_tpu.ops.library_pool import merge_ops_from_scores
 
-        S, La, Lb, denom = self._accumulate_device(A, B)
-        return merge_ops_from_scores(S, denom, La, Lb, gap_open, gap_extend)
+        S, las, lbs, denoms = self._accumulate_device(merges)
+        B = len(merges)
+        # pad the lane metadata to the accumulator's pow2 batch; padding
+        # lanes DP over all-zero matrices and are dropped below
+        Bp = S.shape[0]
+        pad = Bp - B
+        return merge_ops_from_scores(
+            S, denoms + [1] * pad, las + [1] * pad, lbs + [1] * pad,
+            gap_open, gap_extend,
+        )[:B]
 
     def _score_matrix_host(self, A: "Profile", B: "Profile") -> np.ndarray:
         La = A.mu_struct.shape[0]
@@ -1468,15 +1497,28 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
     timing = os.environ.get("GINFINITY_MSA_TIMING")
     t_score = t_dp = t_merge = 0.0
     rounds = []
+    # fused level scoring only when the pool machinery is enabled (the
+    # pool overflowed or was unavailable); GINFINITY_MSA_POOL=0 keeps
+    # forcing the per-merge scorer + batched-DP loop for parity checks
+    lib_fused = (pool_env and library is not None
+                 and getattr(library, "device_slabs", None) is not None)
     for ready in _build_levels(internals):
         pairs = [(get(n[0]), get(n[1])) for n in ready]
         t0 = time.perf_counter()
-        if scorer is not None:
-            mats = [scorer(a, b) for a, b in pairs]
-        else:
-            mats = [_profile_score_matrix(a, b, seq_weight) for a, b in pairs]
+        all_ops = None
+        if lib_fused:
+            # fused level path: scatter + batched DP on device, only op
+            # codes over the link (no [La, Lb] matrix round trips)
+            all_ops = library.merge_ops_level(pairs, gap_open, gap_extend)
         t1 = time.perf_counter()
-        all_ops = profile_align_batch_ops(mats, gap_open, gap_extend)
+        if all_ops is None:
+            if scorer is not None:
+                mats = [scorer(a, b) for a, b in pairs]
+            else:
+                mats = [_profile_score_matrix(a, b, seq_weight)
+                        for a, b in pairs]
+            t1 = time.perf_counter()
+            all_ops = profile_align_batch_ops(mats, gap_open, gap_extend)
         t2 = time.perf_counter()
         for n, (a, b), ops in zip(ready, pairs, all_ops):
             resolved[id(n)] = _merge_from_ops(a, b, ops)
@@ -1485,8 +1527,9 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
         t_dp += t2 - t1
         t_merge += t3 - t2
         if timing:
-            rounds.append((len(ready), max(m.shape[0] for m in mats),
-                           max(m.shape[1] for m in mats)))
+            rounds.append((len(ready),
+                           max(a.mu_struct.shape[0] for a, _ in pairs),
+                           max(b.mu_struct.shape[0] for _, b in pairs)))
     if timing:
         print(f"[progressive detail] rounds={len(rounds)} score={t_score:.2f}s "
               f"dp={t_dp:.2f}s merge={t_merge:.2f}s shapes={rounds}")

@@ -264,6 +264,41 @@ class TestDeviceScoreMatrix:
             np.testing.assert_array_equal(got, want)
         assert host_lib.merge_ops(A, B, 0.0, 0.0) is None  # no slabs
 
+    def test_overflow_fallback_fused_level_matches_host(self, monkeypatch):
+        """When the level pool overflows (run_library_pool -> None), the
+        fallback loop must take the fused LEVEL path — batched scatter +
+        DP, zero score-matrix round trips, scorer never called — and
+        still reproduce the host scorer loop."""
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.ops import library_pool
+        from ginfinity_tpu.pipelines.msa import PosteriorLibrary
+
+        monkeypatch.setattr(
+            library_pool, "run_library_pool", lambda *a, **k: None
+        )
+        rng = np.random.default_rng(43)
+        profiles = _family(rng)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        pairs, vals, idx, _ = _random_library(rng, lens)
+        tree = _tree(rng, len(profiles))
+        host_lib = PosteriorLibrary(pairs, vals, idx, lens)
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        scorer_calls = []
+
+        def counting_scorer(A, B):
+            scorer_calls.append(1)
+            return dev_lib.score_matrix(A, B)
+
+        host = _align(profiles, tree, None, host_lib.score_matrix, pool=False)
+        fused = _align(profiles, tree, dev_lib, counting_scorer, pool=True)
+        _assert_profiles_equal(host, fused)
+        assert not scorer_calls, "fused level path must bypass the scorer"
+        assert dev_lib._vals is None and dev_lib._by_pair is None
+
     def test_refinement_fused_matches_host(self):
         """iterative_refinement with the fused merge_ops path must
         produce the same accepted alignments as the host scorer path."""
