@@ -65,6 +65,14 @@ from ginfinity_tpu.ops.pairhmm import _pow2_batch, _profile_ops_impl
 _ENTRY_CHUNK = 512
 
 
+def _entry_chunk_width(n_pairs: int) -> int:
+    """The _lib_accum chunk width for a library of ``n_pairs`` — a pure
+    function of the library size so every call site (level schedule,
+    refinement, overflow fallback) dispatches the SAME program shape
+    and the prewarm can predict it."""
+    return _pow2_batch(min(_ENTRY_CHUNK, max(1, n_pairs)))
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _lib_accum(S, POS2COL, Cv, Ci, pair_a, pair_b, lane, t, flip, w):
     """Scatter one entry chunk into the level's score matrices.
@@ -188,7 +196,20 @@ def accumulate_pair_scores(Cv_d, Ci_d, pair_a, pair_b, pos2col,
     S = jnp.zeros((Bp, P, P), jnp.float32)
     if not entries:
         return S
-    EC = _pow2_batch(min(_ENTRY_CHUNK, len(entries)))
+    # chunk width keyed off the LIBRARY size, not this call's entry
+    # count, so the program shape is deterministic given (T, P) and
+    # prewarm_library_programs can load it ahead of time
+    EC = _entry_chunk_width(int(pair_a.shape[0]))
+    return _scatter_entry_chunks(
+        S, pos2col, Cv_d, Ci_d, pair_a, pair_b, entries, EC
+    )
+
+
+def _scatter_entry_chunks(S, POS2COL, Cv_d, Ci_d, pa, pb, entries, EC):
+    """Scatter ``entries`` [(lane, slab_t, flip)] into the donated
+    accumulator in EC-wide zero-padded chunks — the one place the entry
+    layout is packed for _lib_accum (level schedule, refinement and
+    overflow fallback all route through here)."""
     for s in range(0, len(entries), EC):
         chunk = entries[s : s + EC]
         lane = np.zeros(EC, np.int32)
@@ -198,11 +219,89 @@ def accumulate_pair_scores(Cv_d, Ci_d, pair_a, pair_b, pos2col,
         for i, (ln, tt, fl) in enumerate(chunk):
             lane[i], tid[i], flip[i], w[i] = ln, tt, fl, 1.0
         S = _lib_accum(
-            S, pos2col, Cv_d, Ci_d, pair_a, pair_b,
+            S, POS2COL, Cv_d, Ci_d, pa, pb,
             jnp.asarray(lane), jnp.asarray(tid),
             jnp.asarray(flip), jnp.asarray(w),
         )
     return S
+
+
+def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
+                             K: int, b_max: int, refine_len: int = 0):
+    """Compile/load the library-pool program set in the background (the
+    same motivation as profile_pool.prewarm_pool_programs: one program
+    per distinct shape, ~1.5 s executable load each in a fresh
+    process).  All shapes are pure functions of
+    (n_seq, P, n_pairs, Ls, K) plus the batch-width guess ladder, so
+    the loads overlap the posterior/consistency stages instead of
+    stalling the progressive stage.  ``refine_len > 0`` additionally
+    warms the single-lane accumulate + fused-DP programs iterative
+    refinement dispatches (PosteriorLibrary.merge_ops at the refine
+    column-count headroom).  All inputs are created on device —
+    nothing crosses the host link."""
+    import threading
+
+    T = max(1, n_pairs)
+    EC = _entry_chunk_width(T)
+    M = 2 * max(1, n_seq)
+    # same wide-shape-first guess ladder as the profile pool: the run
+    # uses batch 1 (caterpillar tail) + one Bmax = pow2(widest level)
+    n = max(1, b_max * 2)
+    batches = []
+    for guess in (-(-n // 8), 1, 4, 2, -(-n // 4), -(-n // 2)):
+        g = _pow2_batch(max(1, guess))
+        if g not in batches:
+            batches.append(g)
+
+    def work():
+        import os
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            Cv = jnp.zeros((T, Ls, K), jnp.float32)
+            Ci = jnp.zeros((T, Ls, K), jnp.int32)
+            pa = jnp.zeros((T,), jnp.int32)
+            pb = jnp.zeros((T,), jnp.int32)
+            lane = jnp.zeros((EC,), jnp.int32)
+            w = jnp.zeros((EC,), jnp.float32)
+            go = jnp.float32(0.0)
+            for B in batches:
+                S = jnp.zeros((B, P, P), jnp.float32)
+                POS = jnp.zeros((n_seq, P), jnp.int32)
+                S = _lib_accum(S, POS, Cv, Ci, pa, pb, lane, lane, lane, w)
+                _lib_dp_merge(
+                    POS, jnp.ones((M,), jnp.int32), S,
+                    jnp.zeros((B, 3), jnp.int32), jnp.ones((B,), jnp.float32),
+                    jnp.zeros((n_seq,), jnp.int32),
+                    jnp.full((n_seq,), 2, jnp.int32), go, go,
+                )[2].block_until_ready()
+            if refine_len > 0:
+                from ginfinity_tpu.graphs.batching import _round_capacity
+
+                Pr = _round_capacity(max(refine_len, Ls))
+                S = jnp.zeros((1, Pr, Pr), jnp.float32)
+                POS = jnp.zeros((n_seq, Pr), jnp.int32)
+                S = _lib_accum(S, POS, Cv, Ci, pa, pb, lane, lane, lane, w)
+                _lib_merge_ops(
+                    S, jnp.ones((1,), jnp.float32), jnp.ones((1,), jnp.int32),
+                    jnp.ones((1,), jnp.int32), go, go,
+                ).block_until_ready()
+            if os.environ.get("GINFINITY_MSA_TIMING"):
+                print(f"[prewarm] library-pool programs "
+                      f"({len(batches)} widths, EC={EC}, P={P}) "
+                      f"{time.perf_counter() - t0:.2f}s")
+        except Exception:  # pragma: no cover - prewarm is best-effort
+            pass
+
+    from ginfinity_tpu.utils.jaxinit import register_prewarm_thread
+
+    th = threading.Thread(
+        target=work, name="ginfinity-library-prewarm", daemon=True
+    )
+    register_prewarm_thread(th)
+    th.start()
+    return th
 
 
 def build_library_schedule(node_levels, slot_of, n_internal_offset,
@@ -284,10 +383,7 @@ def run_library_pool(schedule, Cv_d, Ci_d, pair_a, pair_b,
     ge = jnp.float32(gap_extend)
 
     Bmax = _pow2_batch(max(len(lanes) for lanes, _, _, _ in schedule))
-    EC = _pow2_batch(
-        min(_ENTRY_CHUNK,
-            max(1, max((len(e) for _, e, _, _ in schedule), default=1)))
-    )
+    EC = _entry_chunk_width(int(pa.shape[0]))
 
     import os
     import time
@@ -305,19 +401,9 @@ def run_library_pool(schedule, Cv_d, Ci_d, pair_a, pair_b,
             denom[i] = dn
         blk[B:] = (0, 0, dump)
         S = jnp.zeros((Bp, P, P), jnp.float32)
-        for s in range(0, len(entries), EC):
-            chunk = entries[s : s + EC]
-            lane = np.zeros(EC, np.int32)
-            tid = np.zeros(EC, np.int32)
-            flip = np.zeros(EC, np.int32)
-            w = np.zeros(EC, np.float32)
-            for i, (ln, tt, fl) in enumerate(chunk):
-                lane[i], tid[i], flip[i], w[i] = ln, tt, fl, 1.0
-            S = _lib_accum(
-                S, POS2COL, Cv_d, Ci_d, pa, pb,
-                jnp.asarray(lane), jnp.asarray(tid),
-                jnp.asarray(flip), jnp.asarray(w),
-            )
+        S = _scatter_entry_chunks(
+            S, POS2COL, Cv_d, Ci_d, pa, pb, entries, EC
+        )
         POS2COL, LN, ops_rev, n_new = _lib_dp_merge(
             POS2COL, LN, S, jnp.asarray(blk), jnp.asarray(denom),
             jnp.asarray(mlane), jnp.asarray(mside), go, ge,

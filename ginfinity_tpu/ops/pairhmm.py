@@ -593,7 +593,10 @@ def prewarm_profile_programs(l_cap: int, b_max: int):
             except Exception:  # pragma: no cover - best-effort warmup
                 return
 
+    from ginfinity_tpu.utils.jaxinit import register_prewarm_thread
+
     t = threading.Thread(target=work, daemon=True, name="profile-dp-prewarm")
+    register_prewarm_thread(t)
     t.start()
     return t
 

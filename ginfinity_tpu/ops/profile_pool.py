@@ -321,6 +321,9 @@ def prewarm_pool_programs(n_leaves: int, P: int, d: int, base_dim: int,
                       flush=True)
             return
 
+    from ginfinity_tpu.utils.jaxinit import register_prewarm_thread
+
     t = threading.Thread(target=work, daemon=True, name="pool-dp-prewarm")
+    register_prewarm_thread(t)
     t.start()
     return t

@@ -394,9 +394,12 @@ class TopKSearcher:
             # bound the re-score working set: the [Q, C, D] f32 gather
             # grows with the tile count (24k candidates/query OOMed HBM
             # at 20M rows on one chip) — preselect by quantized score
-            # when the per-tile union exceeds the cap
-            if n_tiles * k_tile > _RESCORE_CAND_CAP:
-                cv, sel = jax.lax.top_k(cv, _RESCORE_CAND_CAP)
+            # when the per-tile union exceeds the cap.  The cap must
+            # still hold at least local_k candidates or the per-shard
+            # top_k below is unsatisfiable for k > _RESCORE_CAND_CAP.
+            cand_cap = max(_RESCORE_CAND_CAP, min(k_base, shard_rows))
+            if n_tiles * k_tile > cand_cap:
+                cv, sel = jax.lax.top_k(cv, cand_cap)
                 ci = jnp.take_along_axis(ci, sel, axis=1)
 
             # local exact(ish) re-score of every candidate
@@ -443,9 +446,13 @@ class TopKSearcher:
         per query.  For 'sqeuclidean' the returned scores are the actual
         squared distances (ascending).
 
-        Compressed storage ('bf16'/'int8') over-fetches overfetch*k
-        candidates from the device scan and re-scores them exactly in
-        f32 on the host."""
+        Compressed storage ('bf16'/'int8') over-fetches candidates from
+        the device scan and re-scores them per shard.  The default
+        (``rescore='device'``) refines IN f32 FROM the stored
+        representation on device — exact for bf16-storable values,
+        ~int16-accurate for int8 (+residual plane) — and keeps no host
+        corpus; ``rescore='host'`` re-scores against the original f32
+        rows on the host (exact scores, host corpus retained)."""
         k = min(k, self.n)
         plain_f32 = self.storage == "f32" and not self._bf16_rescore
         k_dev = k if plain_f32 else min(self.n, self.overfetch * k)

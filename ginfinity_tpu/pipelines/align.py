@@ -243,8 +243,10 @@ def build_parser():
 def main(argv=None):
     from ginfinity_tpu.utils.jaxinit import start_backend_warmup
 
-    start_backend_warmup()  # overlap remote-TPU bring-up with input parsing
     args = build_parser().parse_args(argv)
+    # AFTER argparse (so --help/usage errors never touch the device);
+    # overlaps remote-TPU bring-up with input parsing
+    start_backend_warmup()
     if not (0.0 <= float(args.seq_weight) <= 1.0):
         raise ValueError("--seq-weight must be in [0,1].")
 

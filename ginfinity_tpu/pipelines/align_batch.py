@@ -65,7 +65,6 @@ def _write_pair_outputs(args, id1, id2, s1, s2, sim, best_score, path):
 def main(argv=None):
     from ginfinity_tpu.utils.jaxinit import start_backend_warmup
 
-    start_backend_warmup()  # overlap remote-TPU bring-up with input parsing
     parser = argparse.ArgumentParser(
         description="All-vs-all alignment of node embeddings (batched wavefront DP)."
     )
@@ -89,6 +88,9 @@ def main(argv=None):
         help="Shard pair batches over all devices of a ('data',) mesh.",
     )
     args = parser.parse_args(argv)
+    # AFTER argparse (so --help/usage errors never touch the
+    # device); overlaps remote-TPU bring-up with input parsing
+    start_backend_warmup()
 
     os.makedirs(args.output_dir, exist_ok=True)
     df = read_table_auto(args.input)

@@ -64,7 +64,6 @@ def all_pairs_indices(n: int) -> tuple[np.ndarray, np.ndarray]:
 def main(argv=None):
     from ginfinity_tpu.utils.jaxinit import start_backend_warmup
 
-    start_backend_warmup()  # overlap remote-TPU bring-up with input parsing
     parser = argparse.ArgumentParser(
         description="Compute squared Euclidean distances between rows' embedding vectors."
     )
@@ -87,6 +86,9 @@ def main(argv=None):
                              "materializing every pair — the scalable "
                              "retrieval mode the reference lacks.")
     args = parser.parse_args(argv)
+    # AFTER argparse (so --help/usage errors never touch the
+    # device); overlaps remote-TPU bring-up with input parsing
+    start_backend_warmup()
 
     if not args.keep_cols:
         args.keep_cols = args.id_column

@@ -384,48 +384,38 @@ def _pack_sparse_posteriors(post: dict, N: int, Lmax: int, k: int,
     return pairs, Cv, Ci, M
 
 
-def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int,
-                                mesh=None):
-    """One tiled consistency round, jitted.  With ``mesh``, the pair
-    block axis (pa/pb/pvalid and the output slabs) shards over the
-    mesh's 'data' axis while the full slab arrays + slot map replicate —
-    every pair's update reads arbitrary other pairs' slabs, so the
-    read side stays replicated and only the embarrassingly-parallel
-    write side shards (no collectives)."""
+def _make_consistency_round(Lmax: int, k: int, TC: int, TP: int, mesh,
+                            make_dense):
+    """Shared body of one consistency round (tiled and memoized
+    variants differ ONLY in how a signed slot densifies to an [L, L]
+    posterior block — ``make_dense(Cv, Ci) -> (dense1, denseV)``
+    returning the scalar-slot and [TC]-vector-slot forms).
+
+    With ``mesh``, the pair block axis (pa/pb/pvalid and the output
+    slabs) shards over the mesh's 'data' axis while the full slab
+    arrays + slot map replicate — every pair's update reads arbitrary
+    other pairs' slabs, so the read side stays replicated and only the
+    embarrassingly-parallel write side shards (no collectives)."""
     import jax
     import jax.numpy as jnp
 
     f32 = jnp.float32
-    row_ids = jnp.arange(Lmax)
 
     def round_fn(Cv, Ci, M, pa, pb, pvalid, lam, pmin):
         Np = M.shape[0]
         c0s = jnp.arange(0, Np, TC)
-        rows = jnp.broadcast_to(row_ids[:, None], (Lmax, k))
-
-        def densify_dir(slot):
-            # signed slot: +t -> slab t-1 as-is; -t -> its EXACT
-            # transpose (transposed scatter); 0 -> zero block
-            sidx = jnp.maximum(jnp.abs(slot) - 1, 0)
-            v = Cv[sidx] * (slot != 0).astype(f32)
-            i = Ci[sidx]
-            fwd = slot > 0
-            r_idx = jnp.where(fwd, rows, i)
-            c_idx = jnp.where(fwd, i, rows)
-            return jnp.zeros((Lmax, Lmax), f32).at[r_idx, c_idx].add(v)
-
-        slab_b = jax.vmap(densify_dir)
+        dense1, denseV = make_dense(Cv, Ci)
 
         def one_pair(a, b, valid):
-            Pab = densify_dir(M[a, b])
+            Pab = dense1(M[a, b])
 
             def cstep(carry, c0):
                 acc, cnt = carry
                 cs = c0 + jnp.arange(TC)
                 sac, scb = M[a, cs], M[cs, b]
                 m = ((sac != 0) & (scb != 0)).astype(f32)
-                A = slab_b(sac) * m[:, None, None]
-                B = slab_b(scb)
+                A = denseV(sac) * m[:, None, None]
+                B = denseV(scb)
                 acc = acc + jnp.einsum(
                     "cik,ckj->ij", A, B,
                     precision=jax.lax.Precision.HIGHEST,
@@ -478,11 +468,40 @@ def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int,
     )
 
 
+def _tiled_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int,
+                                mesh=None):
+    """One tiled consistency round, jitted: every operand slab
+    densifies on demand per (a, b, C) triple — no resident block array,
+    so arbitrarily large libraries fit."""
+    import jax
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+
+    def make_dense(Cv, Ci):
+        rows = jnp.broadcast_to(jnp.arange(Lmax)[:, None], (Lmax, k))
+
+        def densify_dir(slot):
+            # signed slot: +t -> slab t-1 as-is; -t -> its EXACT
+            # transpose (transposed scatter); 0 -> zero block
+            sidx = jnp.maximum(jnp.abs(slot) - 1, 0)
+            v = Cv[sidx] * (slot != 0).astype(f32)
+            i = Ci[sidx]
+            fwd = slot > 0
+            r_idx = jnp.where(fwd, rows, i)
+            c_idx = jnp.where(fwd, i, rows)
+            return jnp.zeros((Lmax, Lmax), f32).at[r_idx, c_idx].add(v)
+
+        return densify_dir, jax.vmap(densify_dir)
+
+    return _make_consistency_round(Lmax, k, TC, TP, mesh, make_dense)
+
+
 def _memo_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int,
                                n_slabs: int, mesh=None):
     """One consistency round with MEMOIZED densification.
 
-    The tiled round re-densified each operand slab for every (a, b, C)
+    The tiled round re-densifies each operand slab for every (a, b, C)
     triple — 2 * P * N scatter-built [L, L] scratch blocks per round,
     and those scatters (not the MXU einsum, ~2% of the time) dominated
     the consistency stage.  Here every present pair densifies ONCE per
@@ -491,7 +510,8 @@ def _memo_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int,
     scale, affordable precisely because only PRESENT pairs are stored
     (the round-2 dense path's [N, N, L, L] stack was 28.8 GB) — and the
     triple product just gathers dense blocks.  Semantics identical to
-    the tiled round (same einsum, same re-sparsify).
+    the tiled round (same einsum, same re-sparsify — the shared body in
+    ``_make_consistency_round``).
 
     Callers pick this variant when the block array fits the memory
     budget (``_memo_consistency_bytes``), else fall back to the tiled
@@ -500,11 +520,9 @@ def _memo_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int,
     import jax.numpy as jnp
 
     f32 = jnp.float32
-    rows = jnp.broadcast_to(jnp.arange(Lmax)[:, None], (Lmax, k))
 
-    def round_fn(Cv, Ci, M, pa, pb, pvalid, lam, pmin):
-        Np = M.shape[0]
-        c0s = jnp.arange(0, Np, TC)
+    def make_dense(Cv, Ci):
+        rows = jnp.broadcast_to(jnp.arange(Lmax)[:, None], (Lmax, k))
 
         def densify(v, i):
             return jnp.zeros((Lmax, Lmax), f32).at[rows, i].add(v)
@@ -519,61 +537,10 @@ def _memo_consistency_round_fn(Lmax: int, k: int, TC: int, TP: int,
         def slot_idx(slot):
             return jnp.where(slot >= 0, slot, n_slabs - slot)
 
-        def one_pair(a, b, valid):
-            Pab = Pd[slot_idx(M[a, b])]
+        dense = lambda slot: Pd[slot_idx(slot)]  # noqa: E731
+        return dense, dense
 
-            def cstep(carry, c0):
-                acc, cnt = carry
-                cs = c0 + jnp.arange(TC)
-                sac, scb = M[a, cs], M[cs, b]
-                m = ((sac != 0) & (scb != 0)).astype(f32)
-                A = Pd[slot_idx(sac)] * m[:, None, None]
-                B = Pd[slot_idx(scb)]
-                acc = acc + jnp.einsum(
-                    "cik,ckj->ij", A, B,
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=f32,
-                )
-                return (acc, cnt + m.sum()), None
-
-            (acc, cnt), _ = jax.lax.scan(
-                cstep, (jnp.zeros((Lmax, Lmax), f32), jnp.float32(0.0)), c0s
-            )
-            newP = (1.0 - lam) * Pab + lam * acc / jnp.maximum(cnt, 1.0)
-            row_kth = jax.lax.top_k(newP, k)[0][:, -1:]
-            col_kth = jax.lax.top_k(newP.T, k)[0][:, -1:]
-            keep = (newP >= row_kth) & (newP >= col_kth.T) & (newP >= pmin)
-            masked = jnp.where(keep, newP, 0.0) * valid
-            vab, iab = jax.lax.top_k(masked, k)
-            return vab, iab.astype(jnp.int32)
-
-        one_pair_v = jax.vmap(one_pair)
-
-        def tile_compute(args):
-            ta, tb, tv = args
-            return one_pair_v(ta, tb, tv)
-
-        n_pairs = pa.shape[0]
-        vab, iab = jax.lax.map(
-            tile_compute,
-            (pa.reshape(-1, TP), pb.reshape(-1, TP), pvalid.reshape(-1, TP)),
-        )
-        return (
-            vab.reshape(n_pairs, Lmax, k),
-            iab.reshape(n_pairs, Lmax, k),
-        )
-
-    if mesh is None:
-        return jax.jit(round_fn)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    repl = NamedSharding(mesh, P())
-    rows_sh = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        round_fn,
-        in_shardings=(repl, repl, repl, rows_sh, rows_sh, rows_sh, repl, repl),
-        out_shardings=(rows_sh, rows_sh),
-    )
+    return _make_consistency_round(Lmax, k, TC, TP, mesh, make_dense)
 
 
 def _memo_consistency_bytes(n_slabs: int, Lmax: int) -> int:
@@ -1816,12 +1783,12 @@ def build_parser():
 def main(argv=None):
     from ginfinity_tpu.utils.jaxinit import start_backend_warmup
 
-    # remote-TPU session bring-up overlaps the (large) embedding-TSV
+    args = build_parser().parse_args(argv)
+    # AFTER argparse (--help/usage errors never touch the device).
+    # Remote-TPU session bring-up overlaps the (large) embedding-TSV
     # parse; without this the first posterior batch eats the bring-up
     # and can degrade ~100x (BASELINE.md cold-start section)
     start_backend_warmup()
-
-    args = build_parser().parse_args(argv)
     random.seed(args.seed)
     np.random.seed(args.seed)
     t_start = time.time()
@@ -1871,8 +1838,25 @@ def main(argv=None):
     # level-specific batch size otherwise stalls ~1.5 s per shape on
     # executable loads (measured 11 shapes = ~17 s on the 200x300 family)
     lmax_rec = max(r.emb.shape[0] for r in records)
-    pool_on = (args.dp_score != "library"
-               and os.environ.get("GINFINITY_MSA_POOL", "1") != "0")
+    pairs = pairwise_pairs_to_compute(records, args.max_pairs)
+    pool_env = os.environ.get("GINFINITY_MSA_POOL", "1") != "0"
+    pool_on = args.dp_score != "library" and pool_env
+    if args.dp_score == "library" and pool_env:
+        # library mode never dispatches the profile-DP ladder — warm
+        # the library-pool program set instead (shapes are pure
+        # functions of N, the pair count, Lcap and topk)
+        from ginfinity_tpu.graphs.batching import _round_capacity
+        from ginfinity_tpu.ops.library_pool import prewarm_library_programs
+        from ginfinity_tpu.ops.profile_pool import pool_padded_len
+
+        Lcap_pw = _round_capacity(lmax_rec)
+        refine_len = (lmax_rec + max(8, lmax_rec // 8)
+                      if int(args.refine_iters) > 0 else 0)
+        prewarm_library_programs(
+            N, pool_padded_len(lmax_rec), len(pairs), Lcap_pw,
+            min(int(args.topk), Lcap_pw), max(1, N // 2),
+            refine_len=refine_len,
+        )
     if pool_on:
         from ginfinity_tpu.ops.profile_pool import (
             pool_padded_len,
@@ -1894,7 +1878,10 @@ def main(argv=None):
             # refinement aligns sub-profiles whose length is the column
             # count (>= leaf length, gaps included) — warm with headroom
             prewarm_profile_programs(lmax_rec + max(8, lmax_rec // 8), 2)
-    else:
+    elif not (args.dp_score == "library" and pool_env):
+        # pool disabled (or profile mode with GINFINITY_MSA_POOL=0):
+        # the host-driven levelized loop batches through the
+        # profile-DP ladder
         from ginfinity_tpu.ops.pairhmm import prewarm_profile_programs
 
         prewarm_profile_programs(lmax_rec, max(1, N // 2))
@@ -1925,7 +1912,6 @@ def main(argv=None):
                   "running unsharded")
 
     t_stage = time.time()
-    pairs = pairwise_pairs_to_compute(records, args.max_pairs)
     print(f"Computing pairwise posteriors for {len(pairs)} pairs...")
 
     post: dict[tuple[int, int], np.ndarray] = {}

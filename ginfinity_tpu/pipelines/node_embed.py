@@ -129,7 +129,6 @@ def generate_node_embeddings(
 def main(argv=None):
     from ginfinity_tpu.utils.jaxinit import start_backend_warmup
 
-    start_backend_warmup()  # overlap remote-TPU bring-up with input parsing
     parser = argparse.ArgumentParser(
         description="Generate per-node embeddings (L x D JSON matrices) from dot-bracket structures."
     )
@@ -152,6 +151,9 @@ def main(argv=None):
     parser.add_argument("--debug-preprocessing", dest="debug", action="store_true",
                         help="Reference flag; folds into the same verbose mode.")
     args = parser.parse_args(argv)
+    # AFTER argparse (so --help/usage errors never touch the
+    # device); overlaps remote-TPU bring-up with input parsing
+    start_backend_warmup()
 
     if args.model_path is None:
         sys.exit("ERROR: --model-path is required (a reference .pth works directly).")

@@ -104,6 +104,30 @@ def _fix_cache_dir_for_backend() -> None:
         pass
 
 
+_prewarm_threads: list = []
+
+
+def register_prewarm_thread(t) -> None:
+    """Track a background compile/prewarm thread so process exit JOINS
+    it instead of the interpreter killing it mid-XLA-compile (daemon
+    threads cancelled inside the compiler abort the process with
+    'FATAL: exception not rethrown').  Only register threads whose work
+    is bounded (program compiles/loads) — NOT the backend warmup probe,
+    which can stall for minutes on a dead tunnel."""
+    _prewarm_threads.append(t)
+
+
+def _join_prewarm_threads() -> None:  # pragma: no cover - exit path
+    for t in _prewarm_threads:
+        if t.is_alive():
+            t.join(timeout=120)
+
+
+import atexit  # noqa: E402  (registration, not a top-of-file import)
+
+atexit.register(_join_prewarm_threads)
+
+
 _warmup_thread = None
 last_warmup_secs: float | None = None
 

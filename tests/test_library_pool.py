@@ -184,6 +184,23 @@ class TestLibraryPoolParity:
         _align(profiles, tree, dev_lib, dev_lib.score_matrix, pool=True)
         assert dev_lib._by_pair is None and dev_lib._vals is None
 
+class TestLibraryPrewarm:
+    def test_prewarm_compiles_program_set(self, capsys, monkeypatch):
+        """prewarm_library_programs must run its whole program set
+        without error — the timing line only prints after every width
+        compiled (the worker swallows exceptions, so the print is the
+        success signal)."""
+        from ginfinity_tpu.ops.library_pool import prewarm_library_programs
+
+        monkeypatch.setenv("GINFINITY_MSA_TIMING", "1")
+        th = prewarm_library_programs(
+            n_seq=6, P=64, n_pairs=15, Ls=32, K=5, b_max=3, refine_len=40
+        )
+        th.join(timeout=300)
+        assert not th.is_alive()
+        assert "[prewarm] library-pool programs" in capsys.readouterr().out
+
+
 class TestDeviceScoreMatrix:
     """PosteriorLibrary._score_matrix_device (the single-merge device
     scorer used by iterative refinement and the pool-overflow fallback)

@@ -73,6 +73,28 @@ class TestTopKSearcher:
         assert recall_at_k(i, ti) == 1.0
         np.testing.assert_allclose(np.sort(v, 1), np.sort(tv, 1), rtol=1e-3, atol=1e-2)
 
+    def test_device_rescore_k_beyond_candidate_cap(self, monkeypatch):
+        """k > _RESCORE_CAND_CAP must not crash the device-rescore path:
+        the preselect cap has to keep at least local_k candidates (it
+        used to trim to the cap and then ask top_k for more).  The cap
+        is patched down so the multi-tile preselect branch fires at a
+        test-sized corpus (needs per-shard rows > corpus_tile)."""
+        from ginfinity_tpu.parallel import search as search_mod
+
+        monkeypatch.setattr(search_mod, "_RESCORE_CAND_CAP", 32)
+        rng = np.random.default_rng(3)
+        corpus = rng.normal(size=(70000, 8)).astype(np.float32)
+        queries = rng.normal(size=(8, 8)).astype(np.float32)
+        s = TopKSearcher(corpus, query_block=8, storage="int8")
+        assert s.corpus_tile * 2 <= s._corpus.shape[0] // 8, \
+            "test needs >= 2 tiles/shard to hit the preselect branch"
+        v, i = s.search(queries, k=64)
+        assert v.shape == (8, 64) and i.shape == (8, 64)
+        tv, ti = brute_force_topk(corpus, queries, 64)
+        assert recall_at_k(i, ti) >= 0.95
+        np.testing.assert_allclose(np.sort(v, 1), np.sort(tv, 1),
+                                   rtol=1e-3, atol=1e-2)
+
     def test_exact_candidate_topk_matches_approx(self, data):
         """candidate_recall=None switches the compressed-storage scan's
         candidate generation from approx_max_k back to exact lax.top_k;
