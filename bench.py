@@ -274,6 +274,51 @@ def measure_msa_quality(families=2, n_seqs=5, anc_len=120):
     return out
 
 
+def measure_msa_refinement(families=3, n_seqs=6, anc_len=120):
+    """Quality delta from iterative refinement on top of library-mode
+    scoring (the reference's refinement hook is a no-op, so this is
+    repo-only): SP-F1 at refine 0 vs 32 on known-homology families.
+    Refinement merges are device-fused (PosteriorLibrary.merge_ops), so
+    32 iterations cost <1 s/family."""
+    import contextlib
+    import tempfile
+
+    from ginfinity_tpu.pipelines.msa_eval import (
+        DEFAULT_PARAMS,
+        family_to_tsv,
+        load_aln_tsv,
+        make_family,
+        run_repo_msa,
+        sp_scores,
+    )
+
+    acc: dict[int, list] = {0: [], 32: []}
+    walls: dict[int, list] = {0: [], 32: []}
+    with tempfile.TemporaryDirectory() as td:
+        for f in range(families):
+            members = make_family(1000 * f + 7, n_seqs=n_seqs, anc_len=anc_len)
+            wd = os.path.join(td, f"family{f}")
+            os.makedirs(wd, exist_ok=True)
+            tsv = os.path.join(wd, "emb.tsv")
+            with contextlib.redirect_stdout(sys.stderr):
+                family_to_tsv(members, CKPT, tsv)
+                for iters in (0, 32):
+                    prefix = os.path.join(wd, f"r{iters}", "msa")
+                    sec = run_repo_msa(
+                        tsv, prefix, dict(DEFAULT_PARAMS, refine_iters=iters),
+                        dp_score="library",
+                    )
+                    sc = sp_scores(load_aln_tsv(prefix + ".aln.tsv"), members)
+                    acc[iters].append(sc["sp_f1"])
+                    walls[iters].append(round(sec, 2))
+    return {
+        "library_refine0_sp_f1": round(float(np.mean(acc[0])), 4),
+        "library_refine32_sp_f1": round(float(np.mean(acc[32])), 4),
+        "refine32_wall_sec": walls[32],
+        "families": families, "n_seqs": n_seqs, "anc_len": anc_len,
+    }
+
+
 def measure_trained_model_eval():
     """Train the packaged architecture through the real schedule path on
     known-homology families (scaled budget: the full METHODS.MD run and
@@ -330,17 +375,27 @@ def main():
     # Secondary metrics (search q/s + recall, train-step throughput) so
     # regressions in those paths are driver-visible too; failures there
     # must not sink the headline metric.
+    extra_path = os.path.join(REPO, "BENCH_EXTRA.json")
     extra = {}
+    if os.path.exists(extra_path):
+        # merge into the committed file so entries measured outside this
+        # driver run (e.g. scale sweeps recorded mid-round) survive
+        try:
+            with open(extra_path) as f:
+                extra = json.load(f)
+        except Exception:
+            extra = {}
     for name, fn in (("search", measure_search_quick), ("train", measure_train_step),
                      ("msa", measure_msa_quick),
                      ("msa_quality_vs_reference", measure_msa_quality),
+                     ("msa_refinement_quality", measure_msa_refinement),
                      ("trained_model_eval", measure_trained_model_eval)):
         try:
             extra[name] = fn()
         except Exception as exc:  # pragma: no cover
             extra[name] = {"error": str(exc)}
             print(f"[bench] {name} metric failed: {exc}", file=sys.stderr)
-    with open(os.path.join(REPO, "BENCH_EXTRA.json"), "w") as f:
+    with open(extra_path, "w") as f:
         json.dump(extra, f, indent=2)
 
     print(
