@@ -19,8 +19,12 @@ _OPENERS = {"(": 0, "[": 1, "{": 2, "<": 3}
 _CLOSERS = {")": "(", "]": "[", "}": "{", ">": "<"}
 
 try:  # optional native fast path (C++, see native/ginfast.cpp)
+    from ginfinity_tpu.utils.native import native_available
     from ginfinity_tpu.utils.native import native_pair_table as _native_pair_table
-except Exception:  # pragma: no cover - native lib not built
+
+    if not native_available():  # .so not built -> silent NumPy fallback
+        _native_pair_table = None
+except Exception:  # pragma: no cover - bindings import failure
     _native_pair_table = None
 
 

@@ -315,6 +315,17 @@ def _embed_windows_jit(config: GINConfig, params, state, feat, pt, starts,
     return jax.lax.map(chunk_fn, starts.reshape(-1, chunk)).reshape(w_cap, -1)
 
 
+def _ladder_caps(cfg: GINConfig, p_max: int, b_max: int) -> tuple[int, int]:
+    """Static (p_cap, b_cap) for the window-embedding jits.  The dense
+    aligned path never reads them, so pin them to 0 there — otherwise
+    two structures differing only in their base-pair ladder bucket
+    would compile two byte-identical dense programs (each a ~1.5-30 s
+    executable load on a fresh process)."""
+    if _dense_forward_ok(cfg):
+        return 0, 0
+    return _cap_ladder(p_max), _cap_ladder(b_max)
+
+
 def _chunk_for(w_cap: int) -> int:
     """Largest of {128, 64, 32} dividing the padded window count (every
     ladder capacity is a multiple of 32).  128 measured fastest on the
@@ -375,7 +386,7 @@ def embed_structure_windows(
         cfg, model.params, model.state,
         jnp.asarray(feat_p), jnp.asarray(pt_p), jnp.asarray(starts_padded),
         L, keep_paired_neighbors,
-        _cap_ladder(p_max), _cap_ladder(b_max), _chunk_for(cap),
+        *_ladder_caps(cfg, p_max, b_max), _chunk_for(cap),
     )
     if block:
         emb = np.asarray(emb)[: starts.size]
@@ -807,7 +818,7 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
                 jnp.asarray(feats), jnp.asarray(pts_p),
                 jnp.asarray(sidx_p), jnp.asarray(starts_p),
                 L, keep_paired_neighbors,
-                _cap_ladder(p_cap), _cap_ladder(b_cap), chunk, mesh,
+                *_ladder_caps(cfg, p_cap, b_cap), chunk, mesh,
             )
             return idxs, emb[:n_real]
         feats, pts_p, sidx_p, starts_p, p_cap, b_cap, w_cap = _pack_group(
@@ -818,7 +829,7 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
             jnp.asarray(feats), jnp.asarray(pts_p),
             jnp.asarray(sidx_p), jnp.asarray(starts_p),
             L, keep_paired_neighbors,
-            _cap_ladder(p_cap), _cap_ladder(b_cap), _chunk_for(w_cap),
+            *_ladder_caps(cfg, p_cap, b_cap), _chunk_for(w_cap),
         )
         # slice padding rows off ON DEVICE (a cheap fused slice) so the
         # host download moves only real windows (~14% of the bench

@@ -36,9 +36,9 @@ def prewarm_window_ladder(model, structures, L, keep_paired_neighbors=True,
 
     from ginfinity_tpu.graphs.batching import _round_capacity
     from ginfinity_tpu.pipelines.fast_windows import (
-        _cap_ladder,
         _chunk_for,
         _embed_windows_stacked_jit,
+        _ladder_caps,
         _prep_corpus_groups,
     )
 
@@ -61,7 +61,7 @@ def prewarm_window_ladder(model, structures, L, keep_paired_neighbors=True,
                 f32((w_cap,), np.int32),
                 f32((w_cap,), np.int32),
             ),
-            dict(p_cap=_cap_ladder(p_cap), b_cap=_cap_ladder(b_cap),
+            dict(zip(("p_cap", "b_cap"), _ladder_caps(cfg, p_cap, b_cap)),
                  chunk=_chunk_for(w_cap)),
         )
 

@@ -220,7 +220,10 @@ def retrieval_recall_at_10(ckpt: str, families: list[list[FamilyMember]]) -> flo
         rel = rel[rel != q]
         if rel.size == 0:
             continue
-        top = np.argpartition(d2[q], 10)[:10]
+        # argpartition needs kth < len; tiny eval sets (<= 11 members)
+        # just rank every candidate
+        kth = min(10, len(flat) - 1)
+        top = np.argpartition(d2[q], kth)[:10]
         recalls.append(len(set(top.tolist()) & set(rel.tolist())) / rel.size)
     return float(np.mean(recalls))
 

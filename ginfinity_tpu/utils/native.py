@@ -55,18 +55,24 @@ def native_available() -> bool:
 
 
 def native_pair_table(structure: str) -> np.ndarray | None:
-    """C++ pair-table scan. Returns None for invalid structures.
+    """C++ pair-table scan. Returns None for invalid structures —
+    including any character outside latin-1, which no dot-bracket
+    alphabet contains (the NumPy fallback returns None for those too).
 
-    Raises ImportError-like failure through the caller's try/except when
-    the library is unavailable.
+    Raises RuntimeError when the library is unavailable; callers must
+    gate on :func:`native_available` (graphs/dotbracket.py does).
     """
     lib = _load()
     if lib is None:
         raise RuntimeError("native library not built")
     n = len(structure)
     out = np.empty(n, dtype=np.int32)
+    try:
+        raw = structure.encode("latin-1")
+    except UnicodeEncodeError:
+        return None
     rc = lib.gf_pair_table(
-        structure.encode("latin-1"),
+        raw,
         n,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )

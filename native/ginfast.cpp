@@ -11,6 +11,42 @@
 #include <cstdlib>
 #include <vector>
 
+#include <locale.h>  // newlocale/strtod_l: LC_NUMERIC-proof parsing
+
+namespace {
+
+// Length of a STRICT JSON number at p ("-?(0|[1-9][0-9]*)(\.[0-9]+)?"
+// "([eE][+-]?[0-9]+)?"), or -1.  strtod alone is laxer (hex floats,
+// "inf"/"nan", trailing '.', leading '+'), and json.loads rejects all
+// of those — validating first keeps the contract "bit-matches the
+// json.loads path or returns -1".
+long json_number_len(const char* p, const char* end) {
+    const char* q = p;
+    if (q < end && *q == '-') ++q;
+    if (q >= end) return -1;
+    if (*q == '0') {
+        ++q;
+    } else if (*q >= '1' && *q <= '9') {
+        while (q < end && *q >= '0' && *q <= '9') ++q;
+    } else {
+        return -1;
+    }
+    if (q < end && *q == '.') {
+        ++q;
+        if (q >= end || *q < '0' || *q > '9') return -1;
+        while (q < end && *q >= '0' && *q <= '9') ++q;
+    }
+    if (q < end && (*q == 'e' || *q == 'E')) {
+        ++q;
+        if (q < end && (*q == '+' || *q == '-')) ++q;
+        if (q >= end || *q < '0' || *q > '9') return -1;
+        while (q < end && *q >= '0' && *q <= '9') ++q;
+    }
+    return q - p;
+}
+
+}  // namespace
+
 extern "C" {
 
 // Extended dot-bracket pair-table scan.
@@ -73,11 +109,19 @@ long gf_parse_floats(const char* s, long n, float* out, long cap,
     long row_count = 0, first_row = -1;
     while (p < end) {
         const char c = *p;
-        if ((c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.') {
+        if ((c >= '0' && c <= '9') || c == '-') {
             if (depth != 2) return -1;  // numbers live only inside a row
+            const long tok_len = json_number_len(p, end);
+            if (tok_len <= 0) return -1;  // not a strict JSON number
+            // strtod honours LC_NUMERIC (a comma-decimal locale would
+            // silently mis-parse "[[1,5]]"); pin the C locale, and
+            // reject any parse that does not consume exactly the
+            // validated token
+            static locale_t c_loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
             char* tok_end = nullptr;
-            const double v = strtod(p, &tok_end);
-            if (tok_end == p || tok_end > end) return -1;
+            const double v = c_loc ? strtod_l(p, &tok_end, c_loc)
+                                   : strtod(p, &tok_end);
+            if (tok_end != p + tok_len) return -1;
             if (count >= cap) return -1;
             out[count++] = (float)v;
             ++row_count;

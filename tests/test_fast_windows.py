@@ -130,6 +130,29 @@ class TestFastWindows:
         )
         assert n1 == 1
 
+    def test_dense_path_ignores_bp_ladder_in_jit_key(self, model):
+        """The dense aligned path never reads p_cap/b_cap, so two
+        corpora differing only in base-pair ladder bucket must map to
+        ONE program (caps pinned to 0), while the generic path keys on
+        the real ladder caps."""
+        from ginfinity_tpu.models.gine import GINConfig
+        from ginfinity_tpu.pipelines.fast_windows import (
+            _dense_forward_ok, _ladder_caps,
+        )
+
+        assert _dense_forward_ok(model.config)
+        assert _ladder_caps(model.config, 7, 20) == (0, 0)
+        assert _ladder_caps(model.config, 60, 90) == (0, 0)
+        sparse_cfg = GINConfig.create(
+            hidden_dim=96, output_dim=64, gin_layers=2,
+            pooling_type="set2set", norm_type="batch",
+            node_embed_norm="none", use_residual=False, node_feature_dim=4,
+        )
+        assert not _dense_forward_ok(sparse_cfg)
+        a = _ladder_caps(sparse_cfg, 7, 20)
+        b = _ladder_caps(sparse_cfg, 60, 90)
+        assert a != b and min(a) > 0
+
     def test_short_structure_no_windows(self, model):
         from ginfinity_tpu.pipelines.fast_windows import embed_structure_windows
 

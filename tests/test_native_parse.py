@@ -57,6 +57,18 @@ class TestParseFloatMatrix:
             "[[[1]]]",              # 3-D
             "[[1,null]]",
             "[[1,2]] trailing",
+            # strtod is laxer than JSON — all of these must fall back
+            # to json.loads (which rejects them) instead of silently
+            # parsing to a different value
+            "[[0x1A,2]]",           # hex float
+            "[[-inf,1.0]]",
+            "[[nan]]",
+            "[[Infinity]]",
+            "[[1.,2]]",             # trailing dot
+            "[[+1,2]]",             # leading plus
+            "[[.5,2]]",             # bare fraction
+            "[[01,2]]",             # leading zero
+            "[[1e,2]]",             # empty exponent
         ],
     )
     def test_rejects_malformed(self, bad):
@@ -81,6 +93,39 @@ class TestParseFloatMatrix:
         np.testing.assert_array_equal(_parse_matrix_cell(s), ref)
         # msa cell parser falls back (to None) on malformed input
         assert _parse_matrix_cell("[[1,2],[3]]") is None
+
+
+class TestNativeFallbacks:
+    def test_missing_lib_silently_falls_back_to_numpy(self, monkeypatch):
+        """With libginfast.so absent, dot-bracket parsing must route to
+        the NumPy scan — not raise RuntimeError on every structure."""
+        import importlib
+
+        from ginfinity_tpu.graphs import dotbracket
+        from ginfinity_tpu.utils import native
+
+        monkeypatch.setattr(native, "_LIB", None)
+        monkeypatch.setattr(native, "_TRIED", True)
+        try:
+            mod = importlib.reload(dotbracket)
+            assert mod._native_pair_table is None
+            assert mod.is_valid_dot_bracket("(())")
+            assert mod.pair_table("(())").tolist() == [3, 2, 1, 0]
+            assert mod.pair_table("((", strict=False) is None
+        finally:
+            monkeypatch.undo()
+            importlib.reload(dotbracket)
+
+    @needs_native
+    def test_non_latin1_structure_is_invalid_not_a_crash(self):
+        from ginfinity_tpu.graphs.dotbracket import (
+            is_valid_dot_bracket, pair_table,
+        )
+        from ginfinity_tpu.utils.native import native_pair_table
+
+        assert native_pair_table("((…))") is None
+        assert is_valid_dot_bracket("((…))") is False
+        assert pair_table("((…))", strict=False) is None
 
 
 def test_serialize_matrix_matches_reference_rounding():

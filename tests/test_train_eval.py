@@ -23,6 +23,18 @@ class TestTrainEval:
                 wd, rounds=tiny, n_train_families=12, n_eval_families=6
             )
 
+    def test_retrieval_probe_handles_tiny_eval_sets(self):
+        """<= 11 total members used to crash np.argpartition (kth=10
+        out of bounds); tiny sets must rank all candidates instead."""
+        from ginfinity_tpu.pipelines.msa_eval import make_family
+        from ginfinity_tpu.pipelines.train_eval import retrieval_recall_at_10
+
+        ckpt = ("/root/reference/src/ginfinity/weights/"
+                "gin_weights_regression_180925.pth")
+        fams = [make_family(s, n_seqs=5, anc_len=40) for s in (1, 2)]
+        r = retrieval_recall_at_10(ckpt, fams)
+        assert 0.0 <= r <= 1.0
+
     def test_trained_model_is_usable(self, result):
         """Even a tiny budget must yield a model with non-trivial
         retrieval and alignment quality on held-out families."""
