@@ -81,7 +81,8 @@ def _pick_cb(dims, out_dim: int, L: int) -> int | None:
     return None
 
 
-def _kernel(*refs, L, dims, mean_pool, norm_mode, use_res, precision, cb):
+def _kernel(*refs, L, dims, mean_pool, norm_mode, use_res, precision, cb,
+            eps):
     x0_ref, jloc_ref, bp_ref, pull_ref, fwdw_ref, fwdp_ref = refs[:6]
     n_layers = len(dims)
     lrefs = refs[6:6 + 5 * n_layers]
@@ -153,12 +154,15 @@ def _kernel(*refs, L, dims, mean_pool, norm_mode, use_res, precision, cb):
             )
             x = h + h_in if (use_res and din == dout) else h
 
-        # node norm before pooling (zscore and/or l2, per norm_mode)
+        # node norm before pooling (zscore and/or l2, per norm_mode);
+        # eps is the checkpoint's config.eps — models/gine.py
+        # apply_node_norm uses the same value, keeping parity for
+        # checkpoints with a non-default epsilon
         if norm_mode in ("zscore", "zscore_l2"):
-            x = (x - zs_ref[0][None, :]) / (zs_ref[1][None, :] + 1e-6)
+            x = (x - zs_ref[0][None, :]) / (zs_ref[1][None, :] + eps)
         if norm_mode in ("l2", "zscore_l2"):
             nrm = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
-            x = x / jnp.maximum(nrm, 1e-6)
+            x = x / jnp.maximum(nrm, eps)
         pooled = jnp.sum(x * mask, axis=0, keepdims=True)   # [1, h_last]
         if mean_pool:
             pooled = pooled / cnt
@@ -171,12 +175,12 @@ def _kernel(*refs, L, dims, mean_pool, norm_mode, use_res, precision, cb):
     jax.jit,
     static_argnames=(
         "L", "dims", "mean_pool", "norm_mode", "use_res", "precision",
-        "interpret", "cb",
+        "interpret", "cb", "eps",
     ),
 )
 def _pallas_forward(x0, jloc, bp, pulled, fwdw, fwdp, *packs, L, dims,
                     mean_pool, norm_mode, use_res, precision="highest",
-                    interpret=False, cb=8):
+                    interpret=False, cb=8, eps=1e-6):
     C = x0.shape[0]
     h0 = dims[0][0]
     out_dim = packs[-1].shape[1]
@@ -195,7 +199,7 @@ def _pallas_forward(x0, jloc, bp, pulled, fwdw, fwdp, *packs, L, dims,
 
     kernel = functools.partial(
         _kernel, L=L, dims=dims, mean_pool=mean_pool, norm_mode=norm_mode,
-        use_res=use_res, cb=cb,
+        use_res=use_res, cb=cb, eps=eps,
         precision=(
             jax.lax.Precision.HIGHEST
             if precision == "highest"
@@ -299,4 +303,5 @@ def forward_windows_pallas(config, params, state, x0, j_local, bp_in, pulled,
         precision=config.matmul_precision,
         interpret=interpret,
         cb=cb,
+        eps=float(config.eps),
     )

@@ -57,9 +57,12 @@ class TopKSearcher:
         'int8' : quarter the HBM (per-row-scale symmetric quantization),
                  candidate scan on the int8 MXU path.
         Compressed modes over-fetch ``overfetch * k`` candidates on
-        device and re-score them EXACTLY in f32 on the host against the
-        retained f32 corpus — recall loss only occurs when a true
-        top-k row falls outside the over-fetched candidate set.
+        device and re-score them per the ``rescore`` mode below (the
+        default re-scores on device from the stored representation —
+        exact for bf16-storable values, ~int16-accurate for int8) —
+        recall loss only occurs when a true top-k row falls outside
+        the over-fetched candidate set or, for 'device' rescore, ties
+        within the reconstruction precision.
     overfetch : candidate multiplier for compressed storage (default 4).
     rescore : where compressed-mode candidates are re-scored —
         'device' (default): a second shard_map stage gathers candidate

@@ -23,6 +23,7 @@ from ginfinity_tpu.graphs.batching import (
     GraphBatch,
     batch_graphs,
     bucket_sizes,
+    plan_batches,
     _round_capacity,
 )
 from ginfinity_tpu.graphs.build import GraphArrays, build_graph_arrays
@@ -155,30 +156,9 @@ class InferenceEngine:
         return self.model.config
 
     def _plan(self, graphs: Sequence[GraphArrays]) -> list[list[int]]:
-        order = sorted(range(len(graphs)), key=lambda i: graphs[i].n_nodes)
-        batches: list[list[int]] = []
-        cur: list[int] = []
-        cur_nodes = 0
-        for i in order:
-            n = graphs[i].n_nodes
-            if cur and (
-                cur_nodes + n > self.max_nodes_per_batch
-                or len(cur) >= self.max_graphs_per_batch
-            ):
-                batches.append(cur)
-                cur, cur_nodes = [], 0
-            cur.append(i)
-            cur_nodes += n
-        if cur:
-            batches.append(cur)
-        return batches
-
-    def _make_batch(self, graphs: Sequence[GraphArrays]) -> GraphBatch:
-        total_nodes = sum(g.n_nodes for g in graphs)
-        total_edges = sum(g.n_edges for g in graphs)
-        n_cap, e_cap = bucket_sizes(total_nodes, total_edges)
-        g_cap = _round_capacity(len(graphs))
-        return batch_graphs(graphs, n_cap, e_cap, g_cap)
+        return plan_batches(
+            graphs, self.max_nodes_per_batch, self.max_graphs_per_batch
+        )
 
     def _make_wire(self, graphs: Sequence[GraphArrays]):
         from ginfinity_tpu.graphs.batching import batch_graphs_wire
@@ -207,9 +187,17 @@ class InferenceEngine:
                    batch.edge_src.shape[0], batch.num_graphs)
             groups.setdefault(key, []).append((idxs, chunk, batch))
         for key, items in groups.items():
-            batches = [b for _, _, b in items]
-            stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
-            yield key[0] == "WireBatch", items, stacked
+            is_wire = key[0] == "WireBatch"
+            # plain-GraphBatch fallback groups dispatch per batch — the
+            # stack would be a pure wasted host memcpy there
+            stacked = (
+                jax.tree.map(
+                    lambda *xs: np.stack(xs), *[b for _, _, b in items]
+                )
+                if is_wire
+                else None
+            )
+            yield is_wire, items, stacked
 
     def embed_graphs(
         self,
@@ -255,18 +243,10 @@ class InferenceEngine:
         ``base_only`` drops forgi meta-nodes (reference
         generate_node_embeddings.py:132-182 base-node filtering)."""
         results: list[np.ndarray | None] = [None] * len(graphs)
-        pending = []
-        for is_wire, items, stacked in self._stacked_groups(graphs):
-            if is_wire:
-                pending.append((items, self.model.nodes_stacked(stacked)))
-            else:
-                for idxs, chunk, batch in items:
-                    pending.append(
-                        ([(idxs, chunk, None)], self.model.get_node_embeddings(batch)[None])
-                    )
-            if progress:
-                progress(sum(len(idxs) for idxs, _, _ in items))
-        for items, dev in pending:
+        pending: list = []
+
+        def drain_one():
+            items, dev = pending.pop(0)
             xs = np.asarray(dev)  # [n_batches, N_pad, D]
             for k, (idxs, chunk, _) in enumerate(items):
                 off = 0
@@ -275,4 +255,23 @@ class InferenceEngine:
                     take = chunk[m].n_base_nodes if base_only else n
                     results[gi] = xs[k, off : off + take].copy()
                     off += n
+
+        for is_wire, items, stacked in self._stacked_groups(graphs):
+            if is_wire:
+                pending.append((items, self.model.nodes_stacked(stacked)))
+            else:
+                for idxs, chunk, batch in items:
+                    pending.append(
+                        ([(idxs, chunk, None)], self.model.get_node_embeddings(batch)[None])
+                    )
+            # node outputs are [B, N_pad, D] — a whole corpus of them
+            # resident at once can exhaust HBM, so bound the in-flight
+            # groups (draining the OLDEST overlaps its download with the
+            # newer groups' still-running compute)
+            while len(pending) > 2:
+                drain_one()
+            if progress:
+                progress(sum(len(idxs) for idxs, _, _ in items))
+        while pending:
+            drain_one()
         return results  # type: ignore[return-value]

@@ -149,6 +149,67 @@ class TestPallasWindows:
         ))
         np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
 
+    def test_matches_xla_path_nondefault_eps(self):
+        """config.eps must thread into the kernel's node-norm (it was
+        hardcoded 1e-6): with eps=1e-2 and sigmas of ~1e-3, the zscore
+        denominators differ ~10x between the two values, so any
+        hardcoding diverges far beyond the parity tolerance."""
+        import jax
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.graphs.batching import _round_capacity
+        from ginfinity_tpu.graphs.build import standard_node_features
+        from ginfinity_tpu.graphs.dotbracket import pair_table
+        from ginfinity_tpu.models.gine import GINConfig, init_params
+        from ginfinity_tpu.pipelines.fast_windows import (
+            _forward_windows_aligned,
+        )
+
+        cfg = GINConfig(
+            hidden_dims=(128, 128),
+            output_dim=128,
+            pooling_type="global_mean_pool",
+            node_embed_norm="zscore_l2",
+            normalize_nodes_before_pool=True,
+            eps=1e-2,
+        )
+        params, state = init_params(jax.random.PRNGKey(3), cfg)
+        state = dict(state)
+        rngs = np.random.default_rng(5)
+        state["node_mu"] = jnp.asarray(
+            rngs.normal(size=128).astype(np.float32) * 0.1
+        )
+        state["node_sigma"] = jnp.asarray(
+            1e-3 * (1.0 + rngs.random(128).astype(np.float32))
+        )
+
+        s = pd.read_csv(SAMPLE)["secondary_structure"].astype(str).iloc[0]
+        L = 48
+        n_cap = _round_capacity(len(s))
+        pt = pair_table(s)
+        feats = np.zeros((1, n_cap, cfg.node_feature_dim), np.float32)
+        feats[0, : len(s)] = standard_node_features(
+            pt, None, cfg.seq_weight, cfg.node_feature_dim
+        )
+        pts = np.full((1, n_cap), -1, np.int32)
+        pts[0, : len(s)] = pt
+        starts = np.asarray(
+            np.random.default_rng(0).integers(0, len(s) - L, size=8), np.int32
+        )
+        si = jnp.zeros(8, jnp.int32)
+        st = jnp.asarray(starts)
+        feats_d, pts_d = jnp.asarray(feats), jnp.asarray(pts)
+
+        ref = np.asarray(_forward_windows_aligned(
+            cfg, params, state, feats_d, pts_d, si, st, L,
+            True, use_pallas=False,
+        ))
+        got = np.asarray(_forward_windows_aligned(
+            cfg, params, state, feats_d, pts_d, si, st, L,
+            True, use_pallas=True,
+        ))
+        np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
     def test_matches_xla_path_forgi(self):
         """Forgi checkpoints (7-dim edge layout, base-only 16-dim window
         features) route into the kernel when their widths qualify; the
