@@ -238,7 +238,13 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
     warms the single-lane accumulate + fused-DP programs iterative
     refinement dispatches (PosteriorLibrary.merge_ops at the refine
     column-count headroom).  All inputs are created on device —
-    nothing crosses the host link."""
+    nothing crosses the host link.
+
+    Deliberately NOT warmed: the pool-overflow fallback's grown-length
+    programs (merge_ops_level re-rounds P per level as profiles outgrow
+    the pool padding, so its shape set is data-dependent) — overflow is
+    already the rare slow path and speculative compiles would mostly
+    miss."""
     import threading
 
     T = max(1, n_pairs)
@@ -344,7 +350,9 @@ def build_library_schedule(node_levels, slot_of, n_internal_offset,
             lb = key_to_lane_side.get(comp[b])
             if la is None or lb is None or la[0] != lb[0] or la[1] == lb[1]:
                 continue
-            # owner (slab row side) = a; flip when a sits in the B child
+            # owner (slab row side) = a; flip when a sits in the B
+            # child — mirror of PosteriorLibrary._accumulate_device's
+            # rule (asserted equivalent in tests/test_library_pool.py)
             entries.append((la[0], tid, 1 if la[1] == 1 else 0))
             done.append(tid)
         for tid in done:

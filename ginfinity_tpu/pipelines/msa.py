@@ -199,6 +199,14 @@ def apply_center_trim(records, fraction):
 # ==========================================================================
 
 
+def _pool_env_enabled() -> bool:
+    """GINFINITY_MSA_POOL=0 disables EVERY device-resident merge/scoring
+    path (level pools, fused fallback, device scorer, fused refinement)
+    so runs can be cross-checked against the independent host
+    implementations."""
+    return os.environ.get("GINFINITY_MSA_POOL", "1") != "0"
+
+
 def pairwise_pairs_to_compute(records, max_pairs):
     N = len(records)
     pairs = [(i, j) for i in range(N) for j in range(i + 1, N)]
@@ -1014,13 +1022,13 @@ class PosteriorLibrary:
         With device slabs resident, the scatter-accumulate runs on
         device (one [1, P, P] program reusing the library pool's
         accumulator — iterative refinement and the pool-overflow
-        fallback both stay off the host scorer loop); otherwise the
-        host loop below is the reference implementation and the
-        parity oracle (tests/test_library_pool.py)."""
-        if self.device_slabs is not None:
-            out = self._score_matrix_device(A, B)
-            if out is not None:
-                return out
+        fallback both stay off the host scorer loop).  The host loop is
+        the reference implementation and the parity oracle
+        (tests/test_library_pool.py); GINFINITY_MSA_POOL=0 forces it so
+        a suspected device-scatter bug can be cross-checked against a
+        genuinely independent path."""
+        if self.device_slabs is not None and _pool_env_enabled():
+            return self._score_matrix_device(A, B)
         return self._score_matrix_host(A, B)
 
     def _accumulate_device(self, merges: list[tuple["Profile", "Profile"]]):
@@ -1051,7 +1059,11 @@ class PosteriorLibrary:
             sb = side_of.get(b)
             if sa is None or sb is None or sa[0] != sb[0] or sa[1] == sb[1]:
                 continue
-            # owner (slab row side) = a; flip when a sits in the B child
+            # owner (slab row side) = a; flip when a sits in the B
+            # child.  MUST stay in lockstep with the level-schedule
+            # firing rule in library_pool.build_library_schedule (same
+            # skip conditions, same flip convention) — the two paths are
+            # asserted equivalent in tests/test_library_pool.py
             entries.append((sa[0], t, 1 if sa[1] == 1 else 0))
         Ls = int(self.device_slabs[0].shape[1])
         P = _round_capacity(max(max(las), max(lbs), Ls))
@@ -1087,8 +1099,8 @@ class PosteriorLibrary:
         [2P] int8 op codes cross the link (vs score_matrix's [La, Lb]
         f32 download that profile_align_batch_ops then re-uploads).
         Used by iterative refinement; returns forward-order op codes, or
-        None when no device slabs are resident (host scorer + batched DP
-        is the fallback)."""
+        None when no device slabs are resident or GINFINITY_MSA_POOL=0
+        (host scorer + batched DP is the fallback)."""
         ops = self.merge_ops_level([(A, B)], gap_open, gap_extend)
         return None if ops is None else ops[0]
 
@@ -1098,7 +1110,7 @@ class PosteriorLibrary:
         program + one batched DP program per level, only op codes over
         the link.  Returns a list of forward-order op arrays aligned
         with ``merges``, or None when no device slabs are resident."""
-        if self.device_slabs is None or not merges:
+        if self.device_slabs is None or not merges or not _pool_env_enabled():
             return None
         from ginfinity_tpu.ops.library_pool import merge_ops_from_scores
 
@@ -1427,7 +1439,7 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
 
     walk(tree)
 
-    pool_env = os.environ.get("GINFINITY_MSA_POOL", "1") != "0"
+    pool_env = _pool_env_enabled()
     if scorer is None and pool_env:
         t0 = time.perf_counter()
         prof = _msa_from_tree_pool(
@@ -1478,6 +1490,7 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
             # codes over the link (no [La, Lb] matrix round trips)
             all_ops = library.merge_ops_level(pairs, gap_open, gap_extend)
         t1 = time.perf_counter()
+        fused_this = all_ops is not None
         if all_ops is None:
             if scorer is not None:
                 mats = [scorer(a, b) for a, b in pairs]
@@ -1490,8 +1503,13 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
         for n, (a, b), ops in zip(ready, pairs, all_ops):
             resolved[id(n)] = _merge_from_ops(a, b, ops)
         t3 = time.perf_counter()
-        t_score += t1 - t0
-        t_dp += t2 - t1
+        if fused_this:
+            # scatter and DP are one enqueue — not separable; count the
+            # whole span as dp so score= stays host-scorer-only
+            t_dp += t1 - t0
+        else:
+            t_score += t1 - t0
+            t_dp += t2 - t1
         t_merge += t3 - t2
         if timing:
             rounds.append((len(ready),
@@ -1784,6 +1802,8 @@ def main(argv=None):
     from ginfinity_tpu.utils.jaxinit import start_backend_warmup
 
     args = build_parser().parse_args(argv)
+    if args.topk < 1:
+        raise SystemExit("--topk must be >= 1")
     # AFTER argparse (--help/usage errors never touch the device).
     # Remote-TPU session bring-up overlaps the (large) embedding-TSV
     # parse; without this the first posterior batch eats the bring-up

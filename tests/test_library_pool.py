@@ -221,12 +221,37 @@ class TestDeviceScoreMatrix:
             pairs, None, None, lens,
             device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
         )
-        # pool=False routes EVERY merge through scorer(a, b)
         host = _align(profiles, tree, None, host_lib.score_matrix, pool=False)
-        dev = _align(profiles, tree, None, dev_lib.score_matrix, pool=False)
+        # scorer given + library=None routes EVERY merge through
+        # scorer(a, b) with the device scatter enabled (no env override)
+        from ginfinity_tpu.pipelines.msa import msa_from_tree
+
+        dev = msa_from_tree(tree, profiles, 0.0, 0.0,
+                            scorer=dev_lib.score_matrix)
         _assert_profiles_equal(host, dev)
         # and the device scorer must never download the slabs
         assert dev_lib._vals is None and dev_lib._by_pair is None
+
+    def test_pool_env_forces_host_scorer(self, monkeypatch):
+        """GINFINITY_MSA_POOL=0 must route score_matrix to the host
+        loop even with device slabs resident — the knob exists to
+        cross-check the device scatter against an independent path."""
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.pipelines.msa import PosteriorLibrary
+
+        rng = np.random.default_rng(47)
+        profiles = _family(rng, n=3, lo=11, hi=15)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        pairs, vals, idx, _ = _random_library(rng, lens, k=3)
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        monkeypatch.setenv("GINFINITY_MSA_POOL", "0")
+        dev_lib.score_matrix(profiles[0], profiles[1])
+        assert dev_lib._vals is not None  # host loop ran (lazy download)
+        assert dev_lib.merge_ops(profiles[0], profiles[1], 0.0, 0.0) is None
 
     def test_matrix_values_match_host(self):
         import jax.numpy as jnp
