@@ -23,6 +23,7 @@ equally optimal) endpoint.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -179,6 +180,19 @@ def _wavefront_mesh(mesh):
     return fn
 
 
+@functools.lru_cache(maxsize=8)
+def _shear_index(D: int, L1: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Masked (diag, i, j) scatter indices for un-shearing [D, I] codes
+    into a dense [L1+1, L2+1] plane.  Identical for every pair of a
+    batch (shapes are ladder-rounded, so a handful of keys cover a
+    run) — computing them per pair dominated the traceback stage."""
+    L2 = D - L1
+    dd, ii = np.meshgrid(np.arange(1, D + 1), np.arange(L1 + 1), indexing="ij")
+    jj = dd - ii
+    m = (jj >= 0) & (jj <= L2)
+    return dd[m] - 1, ii[m], jj[m]
+
+
 def _codes_dense(codes: np.ndarray, b: int, L1: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Un-shear one pair's diagonal codes into dense TH/TE/TF [L1+1, L2+1]
     (vectorized scatter; the per-diagonal Python loop dominated wall time
@@ -188,13 +202,11 @@ def _codes_dense(codes: np.ndarray, b: int, L1: int) -> tuple[np.ndarray, np.nda
     TH = np.zeros((L1 + 1, L2 + 1), np.uint8)
     TE = np.zeros((L1 + 1, L2 + 1), np.uint8)
     TF = np.zeros((L1 + 1, L2 + 1), np.uint8)
-    dd, ii = np.meshgrid(np.arange(1, D + 1), np.arange(L1 + 1), indexing="ij")
-    jj = dd - ii
-    m = (jj >= 0) & (jj <= L2)
-    c = codes[dd[m] - 1, b, ii[m]]
-    TH[ii[m], jj[m]] = c & 3
-    TE[ii[m], jj[m]] = (c >> 2) & 1
-    TF[ii[m], jj[m]] = (c >> 3) & 1
+    di, ii, jj = _shear_index(D, L1)
+    c = codes[di, b, ii]
+    TH[ii, jj] = c & 3
+    TE[ii, jj] = (c >> 2) & 1
+    TF[ii, jj] = (c >> 3) & 1
     return TH, TE, TF
 
 
@@ -262,7 +274,9 @@ def _pallas_eligible(L1: int, L2: int, mode: str) -> bool:
     if jax.default_backend() != "tpu":
         return False
     I = ((L1 + 1 + 127) // 128) * 128
-    return (L1 + L2) * I * 8 <= 12 * 1024 * 1024
+    # x2: Pallas double-buffers the pipelined grid blocks, so the live
+    # VMEM footprint is twice the single-block estimate
+    return (L1 + L2) * I * 8 * 2 <= 12 * 1024 * 1024
 
 
 def affine_align_batch(
@@ -285,8 +299,13 @@ def affine_align_batch(
     wavefront (the Pallas kernel is per-chip).
     """
     if backend != "lax" and mesh is None:
-        L1 = max(m.shape[0] for m in score_mats)
-        L2 = max(m.shape[1] for m in score_mats)
+        from ginfinity_tpu.graphs.batching import _round_capacity as _rc
+
+        # eligibility on the LADDER-ROUNDED dims align_batch_pallas pads
+        # to — the kernel's VMEM footprint is set by those, not the raw
+        # batch maxima
+        L1 = _rc(max(m.shape[0] for m in score_mats))
+        L2 = _rc(max(m.shape[1] for m in score_mats))
         if backend == "pallas" or _pallas_eligible(L1, L2, mode):
             from ginfinity_tpu.ops.pallas_dp import align_batch_pallas
 

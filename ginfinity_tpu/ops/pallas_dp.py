@@ -218,12 +218,18 @@ def align_batch_pallas(score_mats: list[np.ndarray], gap_open: float,
     )
 
     local = mode == "local"
+    from ginfinity_tpu.graphs.batching import _round_capacity
+    from ginfinity_tpu.ops.pairhmm import _pow2_batch
+
+    # ladder-round like the lax path (dp.py) — raw batch maxima would
+    # Mosaic-compile a fresh kernel per distinct (B, L1, L2) triple
     B = len(score_mats)
-    L1 = max(m.shape[0] for m in score_mats)
-    L2 = max(m.shape[1] for m in score_mats)
-    scores = np.zeros((B, L1, L2), np.float32)
-    l1 = np.zeros(B, np.int32)
-    l2 = np.zeros(B, np.int32)
+    Bp = _pow2_batch(B)
+    L1 = _round_capacity(max(m.shape[0] for m in score_mats))
+    L2 = _round_capacity(max(m.shape[1] for m in score_mats))
+    scores = np.zeros((Bp, L1, L2), np.float32)
+    l1 = np.ones(Bp, np.int32)   # padding pairs DP a masked 1x1 cell
+    l2 = np.ones(Bp, np.int32)
     for k, m in enumerate(score_mats):
         scores[k, : m.shape[0], : m.shape[1]] = m
         l1[k], l2[k] = m.shape

@@ -450,10 +450,17 @@ def posterior_stage_quality(
     ]
 
     def stats(posts):
+        # a pair can have ZERO surviving homologous positions (heavy
+        # indel draws); an empty-mask mean would NaN the whole report
+        kept = [(p, t) for p, t in zip(posts, truths) if t.any()]
+        if not kept:
+            return {"true_mass_fraction": 0.0,
+                    "mean_posterior_on_true": 0.0,
+                    "finite_fraction": 1.0}
         mass_frac = float(
-            np.mean([p[t].sum() / max(p.sum(), 1e-9) for p, t in zip(posts, truths)])
+            np.mean([p[t].sum() / max(p.sum(), 1e-9) for p, t in kept])
         )
-        mean_true = float(np.mean([p[t].mean() for p, t in zip(posts, truths)]))
+        mean_true = float(np.mean([p[t].mean() for p, t in kept]))
         finite = float(np.mean([np.isfinite(p).mean() for p in posts]))
         return {
             "true_mass_fraction": mass_frac,

@@ -49,7 +49,9 @@ def _valid(s) -> bool:
 def remove_invalid_structures(df, columns):
     mask = np.ones(len(df), dtype=bool)
     for c in columns:
-        mask &= np.array([_valid(s) for s in df[c]])
+        # dtype pinned: an empty comprehension defaults to float64,
+        # which cannot be ANDed with the boolean mask
+        mask &= np.array([_valid(s) for s in df[c]], dtype=bool)
     return df[mask].reset_index(drop=True)
 
 
@@ -218,9 +220,19 @@ def iter_graph_pair_batches_dp(
     sizes = [sum(g.n_nodes for g in t) for t in dataset.items]
     g_cap = _round_capacity(batch_size)
     stacks, leftovers = bucketed_batch_plan(sizes, batch_size, n_dev, rng)
+    n_pos = len(dataset.items[0]) if dataset.items else 1
     for stack in stacks:
-        worst_n = max(sum(sum(g.n_nodes for g in dataset.items[i]) for i in idxs) for idxs in stack)
-        worst_e = max(sum(sum(g.n_edges for g in dataset.items[i]) for i in idxs) for idxs in stack)
+        # caps apply to ONE tuple position's _pack_group (anchor OR
+        # positive OR negative), so size them per position — the
+        # combined-tuple total over-padded every sub-batch ~n_pos x
+        worst_n = max(
+            sum(dataset.items[i][p].n_nodes for i in idxs)
+            for idxs in stack for p in range(n_pos)
+        )
+        worst_e = max(
+            sum(dataset.items[i][p].n_edges for i in idxs)
+            for idxs in stack for p in range(n_pos)
+        )
         caps = (_round_capacity(worst_n), _round_capacity(worst_e))
         yield _stack([build(dataset, idxs, g_cap, caps) for idxs in stack]), True
     for idxs in leftovers:
@@ -245,7 +257,8 @@ def iter_alignment_batches_dp(
         subset = sum(
             len(s.mapping) + min(max_unaligned_per_graph, len(s.unaligned)) for s in sts
         )
-        per_group.append((nodes, edges, len(sts), subset))
+        mapped = sum(len(s.mapping) for s in sts)
+        per_group.append((nodes, edges, len(sts), subset, mapped))
     sizes = [t[0] for t in per_group]
     stacks, leftovers = bucketed_batch_plan(sizes, batch_size, n_dev, rng)
 
@@ -265,11 +278,18 @@ def iter_alignment_batches_dp(
     for stack in stacks:
         worst = [
             max(sum(per_group[i][d] for i in idxs) for idxs in stack)
-            for d in range(4)
+            for d in range(5)
         ]
         caps = (_round_capacity(worst[0]), _round_capacity(worst[1]))
         g_cap = _round_capacity(worst[2])
-        m_cap = _round_capacity(worst[3])
+        # with negative subsampling the kept subset is bounded by the
+        # aligned (participant) nodes + max_negatives — capping there
+        # shrinks the [m_cap, m_cap] InfoNCE matrix vs the raw
+        # unsubsampled bound
+        m_bound = worst[3]
+        if max_negatives is not None:
+            m_bound = min(m_bound, worst[4] + max(0, int(max_negatives)))
+        m_cap = _round_capacity(m_bound)
         built = [assemble(idxs, caps, g_cap, m_cap) for idxs in stack]
         if any(b is None for b in built):
             # rare: a batch with no usable nodes breaks the stack; run the
