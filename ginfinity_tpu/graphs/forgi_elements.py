@@ -42,7 +42,16 @@ class Element:
 
 
 def _nested_pairs(pt: np.ndarray) -> np.ndarray:
-    """Greedy maximal non-crossing subset of the pair table."""
+    """Inclusion-maximal non-crossing subset of the pair table.
+
+    Pass 1 is the greedy stack scan (a closer whose opener is no longer
+    on top drops the buried opener's pair — later/inner pairs win).
+    That greedy can also drop pairs whose every crosser itself ended up
+    dropped, leaving a non-maximal set (e.g. '([)(])' kept only (3,5)
+    while (0,2) crosses nothing kept) — pass 2 re-adds any dropped pair
+    that does not cross the kept set, so no nested stem is ever
+    misclassified as loop positions just because a pseudoknot touched
+    it."""
     n = pt.shape[0]
     nested = np.full(n, -1, dtype=np.int32)
     stack: list[int] = []
@@ -59,6 +68,19 @@ def _nested_pairs(pt: np.ndarray) -> np.ndarray:
                 nested[j] = i
             elif j in stack:  # crossing pair: drop it
                 stack.remove(j)
+    dropped = [
+        (i, int(pt[i]))
+        for i in range(n)
+        if int(pt[i]) > i and int(nested[i]) != int(pt[i])
+    ]
+    if dropped:
+        kept = [(i, int(nested[i])) for i in range(n) if int(nested[i]) > i]
+        for a, b in dropped:  # left-to-right, like the scan
+            if not any(
+                (c < a < d < b) or (a < c < b < d) for c, d in kept
+            ):
+                nested[a], nested[b] = b, a
+                kept.append((a, b))
     return nested
 
 

@@ -75,7 +75,14 @@ def generate_embeddings(
         log_information(log_path, {f"skipped_{reason}": f"ID {row_ids[pos]}"})
 
     if not pre.graphs:
+        # keep the output contract: a header-only TSV + count log, so a
+        # downstream step reading the promised file fails on content
+        # (0 rows), not FileNotFoundError
         print("No valid structures to process.")
+        pd.DataFrame(columns=final_keep + ["embedding_vector"]).to_csv(
+            output_path, sep="\t", index=False
+        )
+        log_information(log_path, {"num_embeddings": 0}, "generate_embeddings")
         return
 
     embeddings = engine.embed_graphs(pre.graphs)
@@ -164,8 +171,19 @@ def generate_window_embeddings(
             keep_paired_neighbors, mask_threshold, bf16_check, log_path, quiet,
         )
     rows = []
+    # one O(N) pass for the kept-column lookup — a boolean scan per
+    # structure is O(S*N) and dominates host time on large inputs
+    base_by_id = (
+        {
+            r[id_column]: r
+            for r in input_df.drop_duplicates(id_column, keep="first")
+            .to_dict(orient="records")
+        }
+        if keep_cols
+        else {}
+    )
     for rid, struct, (starts, embs) in zip(ids, structures, results):
-        base = input_df[input_df[id_column] == rid].iloc[0] if keep_cols else None
+        base = base_by_id.get(rid) if keep_cols else None
         for start, vec in zip(starts, embs):
             row = {
                 "window_id": f"{rid}_{int(start)}",
@@ -175,14 +193,17 @@ def generate_window_embeddings(
                 "seq_len": len(struct),
                 "embedding_vector": format_embedding(vec),
             }
-            if keep_cols:
+            if keep_cols and base is not None:
                 row.update({c: base[c] for c in keep_cols if c in base})
             rows.append(row)
-    out_df = pd.DataFrame(rows)
     leading = ["window_id", id_column, "window_start", "window_end", "seq_len",
                "embedding_vector"]
-    out_df = out_df[[c for c in leading if c in out_df.columns]
-                    + [c for c in out_df.columns if c not in leading]]
+    # explicit columns so zero windows still writes a header-only TSV
+    # (windows.py makes the same promise) instead of a headerless file
+    out_df = pd.DataFrame(rows, columns=leading if not rows else None)
+    if rows:
+        out_df = out_df[[c for c in leading if c in out_df.columns]
+                        + [c for c in out_df.columns if c not in leading]]
     out_df.to_csv(output_path, sep="\t", index=False, na_rep="NaN")
     log_information(log_path, {
         "num_window_embeddings": len(out_df),
@@ -251,10 +272,11 @@ def _report_bf16_tail(cfg, params, state, structures, ids, results,
                  f" — WORST: {diag['bf16_worst_windows']}"))
 
 
-def _embed_precomputed(args):
+def _embed_precomputed(args, mesh=None):
     """--graph-pt mode: embed precomputed window graphs
     (our .npz format from ginfinity_tpu.pipelines.windows; the reference's
-    torch .pt format is also accepted when its unpickling deps exist)."""
+    torch .pt format is also accepted when its unpickling deps exist).
+    ``mesh`` shards the stacked batch groups (--data-parallel)."""
     from ginfinity_tpu.pipelines.engine import adapt_graphs_to_model
     from ginfinity_tpu.pipelines.windows import load_windows_graphs
 
@@ -270,6 +292,7 @@ def _embed_precomputed(args):
         args.model_path,
         precision="highest" if args.precision == "f32" else "bf16",
         max_nodes_per_batch=args.batch_nodes,
+        mesh=mesh,
     )
     graphs = adapt_graphs_to_model(graphs, engine.config)
     embeddings = engine.embed_graphs(graphs)
@@ -383,9 +406,8 @@ def _main_inner(args):
         if not args.quiet:
             print(f"[generate_embeddings] Using built-in weights: {args.model_path}")
 
-    if args.graph_pt and args.meta_tsv:
-        _embed_precomputed(args)
-        return
+    if bool(args.graph_pt) != bool(args.meta_tsv):
+        sys.exit("ERROR: --graph-pt and --meta-tsv must be given together.")
 
     mesh = None
     if getattr(args, "data_parallel", False):
@@ -401,6 +423,10 @@ def _main_inner(args):
         elif not args.quiet:
             print("[generate_embeddings] --data-parallel: single device "
                   "visible; running unsharded")
+
+    if args.graph_pt and args.meta_tsv:
+        _embed_precomputed(args, mesh)
+        return
 
     df, log_path, propagate = setup_and_read_input(args, need_model=True)
     if args.window_size is not None:

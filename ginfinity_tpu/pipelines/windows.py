@@ -28,7 +28,11 @@ import os
 import numpy as np
 import pandas as pd
 
-from ginfinity_tpu.graphs.build import GraphArrays, standard_node_features
+from ginfinity_tpu.graphs.build import (
+    GraphArrays,
+    _directed_both_ways,
+    standard_node_features,
+)
 from ginfinity_tpu.graphs.dotbracket import pair_table
 from ginfinity_tpu.utils.io import log_information, setup_and_read_input
 
@@ -92,11 +96,7 @@ def slice_window(
     attr2 = np.zeros((src.shape[0], 2), np.float32)
     attr2[: bb_src.shape[0], 0] = 1.0
     attr2[bb_src.shape[0] :, 1] = 1.0
-    s = np.concatenate([src, dst])
-    d = np.concatenate([dst, src])
-    a = np.concatenate([attr2, attr2], axis=0)
-    fwd = (s < d).astype(np.float32)[:, None]
-    attr = np.concatenate([a, fwd, 1.0 - fwd], axis=1)
+    s, d, attr = _directed_both_ways(src, dst, attr2)
 
     return GraphArrays(
         node_feat=full_feat[nodes],
@@ -334,6 +334,18 @@ def main(argv=None):
         if not isinstance(struct, str):
             if not args.quiet:
                 print(f"Skipping {row[args.id_column]}: not a string")
+            log_information(log_path,
+                            {"skipped_not_a_string": f"ID {row[args.id_column]}"})
+            continue
+        if pair_table(struct, strict=False) is None:
+            # surface malformed rows like embed.py does — a silent []
+            # from structure_to_windows hides which IDs were dropped
+            if not args.quiet:
+                print(f"Skipping {row[args.id_column]}: invalid dot-bracket")
+            log_information(
+                log_path,
+                {"skipped_invalid_dot_bracket": f"ID {row[args.id_column]}"},
+            )
             continue
         windows = structure_to_windows(
             struct, args.L, args.keep_paired_neighbors, args.mask_threshold

@@ -222,6 +222,32 @@ class TestForgiProperties:
                     ik + 1 < n and int(nested[ik + 1]) == jk - 1 and jk - 1 > ik + 1
                 ), s
 
+    def test_nested_subset_is_inclusion_maximal(self, cases):
+        """Every pair-table pair NOT kept by _nested_pairs must cross a
+        kept pair — the greedy scan alone could drop a pair whose
+        crossers were themselves dropped (regression: '([)(])' lost
+        (0, 2))."""
+        for s, pt, _ in cases:
+            nested = _nested_pairs(pt)
+            kept = [(i, int(nested[i])) for i in range(len(s))
+                    if int(nested[i]) > i]
+            for a in range(len(s)):
+                b = int(pt[a])
+                if b <= a or int(nested[a]) == b:
+                    continue
+                assert any(
+                    (c < a < d < b) or (a < c < b < d) for c, d in kept
+                ), (s, a, b)
+
+    def test_pseudoknot_regression_keeps_noncrossing_pair(self):
+        import numpy as np
+
+        pt = np.array([2, 4, 0, 5, 1, 3], np.int32)  # '([)(])'
+        nested = _nested_pairs(pt)
+        assert int(nested[0]) == 2 and int(nested[2]) == 0
+        assert int(nested[3]) == 5 and int(nested[5]) == 3
+        assert int(nested[1]) == -1 and int(nested[4]) == -1
+
     def test_loop_members_unpaired(self, cases):
         """Loop elements contain only nested-unpaired positions."""
         for s, pt, els in cases:

@@ -66,6 +66,44 @@ class TestEmbedCLI:
         res = pd.read_csv(out, sep="\t")
         assert list(res["id"]) == ["a", "c"]
 
+    def test_all_invalid_writes_header_only(self, tmp_path):
+        """Zero valid structures must still write the promised output
+        file (header-only), not silently skip it."""
+        df = pd.DataFrame({"id": ["a"], "secondary_structure": ["((.."]})
+        inp = str(tmp_path / "in.csv")
+        out = str(tmp_path / "out.tsv")
+        df.to_csv(inp, index=False)
+        from ginfinity_tpu.pipelines.embed import main
+
+        main(["--input", inp, "--output", out, "--model-path", CKPT,
+              "--id-column", "id", "--quiet"])
+        res = pd.read_csv(out, sep="\t")
+        assert len(res) == 0 and "embedding_vector" in res.columns
+
+    def test_fused_no_windows_writes_header_only(self, tmp_path):
+        """--window-size longer than every structure: header-only TSV
+        with the documented columns (was a headerless empty file)."""
+        df = pd.DataFrame({"id": ["a"], "secondary_structure": ["((..))"]})
+        inp = str(tmp_path / "in.csv")
+        out = str(tmp_path / "out.tsv")
+        df.to_csv(inp, index=False)
+        from ginfinity_tpu.pipelines.embed import main
+
+        main(["--input", inp, "--output", out, "--model-path", CKPT,
+              "--id-column", "id", "--quiet", "--window-size", "200"])
+        res = pd.read_csv(out, sep="\t")
+        assert len(res) == 0
+        assert list(res.columns[:2]) == ["window_id", "id"]
+
+    def test_graph_pt_requires_meta_tsv(self, tmp_path):
+        from ginfinity_tpu.pipelines.embed import main
+
+        with pytest.raises(SystemExit, match="meta-tsv"):
+            main(["--graph-pt", str(tmp_path / "g.npz"),
+                  "--output", str(tmp_path / "o.tsv"),
+                  "--id-column", "id",
+                  "--model-path", CKPT, "--quiet"])
+
 
 class TestDistancesCLI:
     def test_all_pairs(self, emb_tsv, tmp_path):
