@@ -280,6 +280,10 @@ def main(argv=None):
         print("[align] --gap is deprecated; use --gap-open and --gap-extend. Treating --gap as --gap-open.")
         args.gap_open = args.gap
     if args.gap_extend is None:
+        # dead branch, KEPT deliberately: --gap-extend defaults to -1.0
+        # in the reference too (align_node_embeddings.py:513,620-621),
+        # so legacy --gap X yields affine (X, -1.0) there as well —
+        # CLI parity over the shim's apparent linear-gap intent
         args.gap_extend = args.gap_open
 
     best_score, path = affine_align(sim.astype(np.float32), args.gap_open, args.gap_extend, args.mode)

@@ -19,9 +19,9 @@ import os
 import numpy as np
 
 
-def _load_rinalmo(model_name: str = "giga-v1"):
+def _load_rinalmo(model_name: str = "giga-v1", device: str | None = None):
     try:
-        import torch  # noqa: F401
+        import torch
         from rinalmo.pretrained import get_pretrained_model
     except ImportError as exc:
         raise SystemExit(
@@ -31,7 +31,13 @@ def _load_rinalmo(model_name: str = "giga-v1"):
         ) from exc
     model, alphabet = get_pretrained_model(model_name=model_name)
     model.eval()
-    return model, alphabet
+    dev = torch.device(device) if device else torch.device("cpu")
+    if dev.type == "cuda" and not torch.cuda.is_available():
+        print("[base_embed] --device cuda requested but CUDA is "
+              "unavailable; running on CPU.")
+        dev = torch.device("cpu")
+    model = model.to(dev)
+    return model, alphabet, dev
 
 
 def _trim_special(mat, seq_len: int):
@@ -51,20 +57,22 @@ def _trim_special(mat, seq_len: int):
 def generate_base_embeddings(df, output_path, id_column, sequence_column,
                              batch_size=8, quiet=False, keep_cols=None,
                              model_name="giga-v1", use_amp=True,
-                             trim_special=True):
+                             trim_special=True, device=None):
     import pandas as pd
     import torch
 
-    model, alphabet = _load_rinalmo(model_name)
+    model, alphabet, dev = _load_rinalmo(model_name, device)
     rows = []
     seqs = df[sequence_column].astype(str).str.upper().str.replace("T", "U").tolist()
     ids = df[id_column].tolist()
     keep_cols = [c for c in (keep_cols or []) if c in df.columns]
-    use_amp = use_amp and torch.cuda.is_available()
+    use_amp = use_amp and dev.type == "cuda"
     with torch.no_grad():
         for s in range(0, len(seqs), batch_size):
             chunk = seqs[s : s + batch_size]
-            tokens = torch.tensor(alphabet.batch_tokenize(chunk), dtype=torch.int64)
+            tokens = torch.tensor(
+                alphabet.batch_tokenize(chunk), dtype=torch.int64, device=dev
+            )
             if use_amp:  # pragma: no cover - CUDA-only branch
                 with torch.autocast("cuda"):
                     out = model(tokens)["representation"]
@@ -73,6 +81,15 @@ def generate_base_embeddings(df, output_path, id_column, sequence_column,
             for k, seq in enumerate(chunk):
                 rep = out[k].float().cpu().numpy()
                 if trim_special:
+                    # batch_tokenize right-pads to the batch max; the
+                    # real rows are the leading seq_len+2 (BOS+EOS).
+                    # Slice BEFORE trimming so the center-crop fallback
+                    # never sees pad rows — the reference center-crops
+                    # the PADDED matrix and emits misaligned embeddings
+                    # for any sequence >=2 shorter than its batch max
+                    # (generate_base_embeddings.py:94-106)
+                    if rep.shape[0] > len(seq) + 2:
+                        rep = rep[: len(seq) + 2]
                     rep = _trim_special(rep, len(seq))
                 row = {
                     id_column: ids[s + k],
@@ -123,8 +140,9 @@ def main(argv=None):
 
     args = build_parser().parse_args(argv)
 
-    sep = "\t" if args.input.endswith(".tsv") else ","
-    df = pd.read_csv(args.input, sep=sep)
+    from ginfinity_tpu.utils.io import read_table
+
+    df = read_table(args.input)
     for col in (args.id_column, args.sequence_column):
         if col not in df.columns:
             raise ValueError(f"Column '{col}' not found in input.")
@@ -137,7 +155,7 @@ def main(argv=None):
     generate_base_embeddings(
         df, args.output, args.id_column, args.sequence_column,
         args.batch_size, args.quiet, keep_cols, args.model_name,
-        args.use_amp, args.trim_special,
+        args.use_amp, args.trim_special, device=args.device,
     )
 
 

@@ -88,9 +88,10 @@ def generate_embeddings(
     embeddings = engine.embed_graphs(pre.graphs)
 
     rows = []
-    index_values = input_df.index.tolist()
     for k, pos in enumerate(pre.kept_indices):
-        base = input_df.loc[index_values[pos]]
+        # positional lookup: .loc on a caller-supplied frame with
+        # duplicate index labels returns a DataFrame, not a row
+        base = input_df.iloc[pos]
         out = {c: base[c] for c in final_keep if c in base}
         out["embedding_vector"] = format_embedding(embeddings[k])
         rows.append(out)

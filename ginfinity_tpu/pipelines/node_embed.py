@@ -97,9 +97,10 @@ def generate_node_embeddings(
     t_inf = time.perf_counter()
 
     rows = []
-    index_values = input_df.index.tolist()
     for k, pos in enumerate(pre.kept_indices):
-        base = input_df.loc[index_values[pos]]
+        # positional lookup: .loc on a caller-supplied frame with
+        # duplicate index labels returns a DataFrame, not a row
+        base = input_df.iloc[pos]
         out = {c: base[c] for c in final_keep if c in base}
         out["node_embeddings"] = serialize_matrix(mats[k])
         rows.append(out)
@@ -157,6 +158,8 @@ def main(argv=None):
 
     if args.model_path is None:
         sys.exit("ERROR: --model-path is required (a reference .pth works directly).")
+    if bool(args.graph_pt) != bool(args.meta_tsv):
+        sys.exit("ERROR: --graph-pt and --meta-tsv must be given together.")
 
     if args.graph_pt and args.meta_tsv:
         from ginfinity_tpu.pipelines.windows import load_windows_graphs

@@ -207,7 +207,13 @@ def main(argv=None):
             df.to_csv(study_dir / "trials.csv", index=False)
         best_row = df.loc[df["value"].idxmax()]
         best_value = float(best_row["value"])
-        best_params = {k: best_row[k] for k in ("refine_iters", "alpha", "beta", "gap_open", "gap_extend")}
+        # the mixed-dtype frame upcasts refine_iters to float64; pin the
+        # types so best_params.json matches the optuna path (int) and
+        # feeds back into --refine-iters cleanly
+        best_params = {
+            k: (int(best_row[k]) if k == "refine_iters" else float(best_row[k]))
+            for k in ("refine_iters", "alpha", "beta", "gap_open", "gap_extend")
+        }
 
     print("Best value:", best_value)
     print("Best params:")

@@ -9,6 +9,10 @@ Semantics follow the reference exactly:
   supervised InfoNCE over a node subset with temperature-scaled cosine
   logits, where non-matching-label pairs (including intra-graph) are
   negatives, plus an optional soft margin penalty on negative sims.
+  NOTE the margin compares against the TEMPERATURE-SCALED similarities
+  (cos/T), exactly like the reference (alignment_loss.py:250 builds
+  sim_matrix already divided by temperature and :302-304 thresholds
+  that) — a "cosine-scale" margin value must be divided by T.
 
 The reference mines pairs and samples negatives dynamically on device
 (dynamic shapes); here the *subset selection* happens on the host

@@ -23,8 +23,23 @@ def get_system_info() -> dict:
         import jax
 
         info["JAX Version"] = jax.__version__
-        info["Devices"] = ", ".join(str(d) for d in jax.devices())
-        info["Default Backend"] = jax.default_backend()
+        # jax.devices() BLOCKS on backend bring-up (20-35 s over a
+        # remote-TPU tunnel) — calling it here would serialize away the
+        # start_backend_warmup()/input-parse overlap every pipeline
+        # relies on.  Only report devices if a backend already exists.
+        try:
+            from jax._src import xla_bridge
+
+            initialized = bool(getattr(xla_bridge, "_backends", None))
+        except Exception:
+            initialized = False
+        if initialized:
+            info["Devices"] = ", ".join(str(d) for d in jax.devices())
+            info["Default Backend"] = jax.default_backend()
+        else:
+            info["Devices"] = (
+                "(backend bring-up in progress; see pipeline output)"
+            )
     except Exception:  # pragma: no cover
         info["JAX"] = "unavailable"
     try:

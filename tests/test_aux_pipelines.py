@@ -94,6 +94,9 @@ class TestBaseEmbed:
             def eval(self):
                 return self
 
+            def to(self, dev):
+                return self
+
             def __call__(self, tokens):
                 B, T = tokens.shape
                 rep = torch.arange(B * T * D, dtype=torch.float32).reshape(B, T, D)
@@ -123,3 +126,20 @@ class TestBaseEmbed:
         assert m1.shape == (5, D)
         # row 0 of the trimmed matrix is token position 1 (BOS skipped)
         assert m0[0, 0] == pytest.approx(D)  # arange: position 1 starts at D
+
+        # padded-batch regression: a sequence >= 2 shorter than its
+        # batch max used to be CENTER-CROPPED over the pad rows
+        # (reference bug, generate_base_embeddings.py:94-106) — rows
+        # must be the true residue positions 1..seq_len
+        inp2 = tmp_path / "seqs2.tsv"
+        pd.DataFrame({"id": ["s", "t"], "sequence": ["AC", "ACGUUU"]}).to_csv(
+            inp2, sep="\t", index=False
+        )
+        out2 = tmp_path / "o2.tsv"
+        main(["--input", str(inp2), "--output", str(out2),
+              "--id-column", "id", "--quiet"])
+        df2 = pd.read_csv(out2, sep="\t")
+        short = np.array(json.loads(df2.iloc[0]["base_embeddings"]))
+        assert short.shape == (2, D)
+        assert short[0, 0] == pytest.approx(D)      # token position 1
+        assert short[1, 0] == pytest.approx(2 * D)  # token position 2
