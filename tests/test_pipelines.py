@@ -188,6 +188,35 @@ class TestWindows:
         assert len(meta) == len(graphs) > 0
         assert set(meta["window_id"]) == set(graphs)
 
+    def test_graph_pt_data_parallel_matches_single_device(self, tmp_path,
+                                                          mini_csv):
+        """--graph-pt mode must honor --data-parallel (the mesh used to
+        be built after that branch returned): embeddings over the
+        8-device mesh equal the single-device run row for row."""
+        from ginfinity_tpu.pipelines.embed import main as embed_main
+        from ginfinity_tpu.pipelines.windows import main as windows_main
+
+        outdir = str(tmp_path / "w")
+        windows_main(["--input", mini_csv, "--output-dir", outdir,
+                      "--id-column", "rnacentral_id", "--L", "40",
+                      "--keep-paired-neighbors", "--quiet"])
+        npz = os.path.join(outdir, "windows_graphs.npz")
+        meta = os.path.join(outdir, "windows_metadata.tsv")
+
+        def run(tag, extra):
+            out = str(tmp_path / f"{tag}.tsv")
+            embed_main(["--graph-pt", npz, "--meta-tsv", meta,
+                        "--output", out, "--model-path", CKPT,
+                        "--id-column", "rnacentral_id", "--quiet", *extra])
+            return pd.read_csv(out, sep="\t")
+
+        single = run("single", [])
+        sharded = run("sharded", ["--data-parallel"])
+        assert list(single["window_id"]) == list(sharded["window_id"])
+        assert list(single["embedding_vector"]) == list(
+            sharded["embedding_vector"]
+        )
+
     def test_cli_pt_format_roundtrip(self, tmp_path, mini_csv):
         """--format pt writes a reference-layout windows_graphs.pt whose
         pickle references the real torch_geometric class paths
