@@ -373,6 +373,29 @@ class TestDeviceScoreMatrix:
         _assert_profiles_equal(host_ref, dev_ref)
         assert dev_lib._vals is None and dev_lib._by_pair is None
 
+    def test_wide_family_pool_matches_host(self):
+        """Scale smoke beyond the small parity draws: 24 sequences give
+        wide early levels (Bmax > 2), multi-chunk entry scatters and a
+        long caterpillar tail — the pool must still reproduce the host
+        scorer loop byte-for-byte."""
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.pipelines.msa import PosteriorLibrary
+
+        rng = np.random.default_rng(53)
+        profiles = _family(rng, n=24, lo=20, hi=34)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        pairs, vals, idx, _ = _random_library(rng, lens, coverage=0.5)
+        tree = _tree(rng, len(profiles))
+        host_lib = PosteriorLibrary(pairs, vals, idx, lens)
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        host = _align(profiles, tree, None, host_lib.score_matrix, pool=False)
+        pool = _align(profiles, tree, dev_lib, dev_lib.score_matrix, pool=True)
+        _assert_profiles_equal(host, pool)
+
     def test_cli_pool_matches_host(self, tmp_path):
         """Whole-pipeline check: ginfinity-embed-msa --dp-score library
         with the pool on vs GINFINITY_MSA_POOL=0 writes identical
