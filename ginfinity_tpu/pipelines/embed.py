@@ -129,9 +129,10 @@ def generate_window_embeddings(
 ):
     """Fused sliding-window embedding (--window-size): every window of
     every structure is generated AND embedded on device in one pass —
-    the high-throughput path behind bench.py (~27k windows/sec on one
-    v5e chip vs ~1.5k through the file-based
-    generate-windows -> embed --graph-pt flow).  Output schema matches
+    the high-throughput path behind bench.py (~51-58k windows/sec
+    end-to-end on one v5e chip, BASELINE.md roofline; vs ~1.5k through
+    the file-based generate-windows -> embed --graph-pt flow).  Output
+    schema matches
     that flow: one row per window with window_id/{id}/window_start/
     window_end/seq_len + embedding_vector."""
     from ginfinity_tpu.models.checkpoint import load_checkpoint
