@@ -57,6 +57,17 @@ from ginfinity_tpu.ops.pairhmm import _pow2_batch, _profile_ops_impl
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
+# NJ caterpillar tails dispatch one batch-1 program per level; chunks of
+# this many consecutive batch-1 levels run as ONE lax.scan program
+# instead (58 tail submissions -> 4 on the 200x300 family; each
+# submission costs ~20-25 ms of client/tunnel overhead even fully
+# async).  One fixed width = one extra program shape for the prewarm;
+# tails shorter than _POOL_SCAN_MIN keep the per-level program, where
+# chunk-padding no-op levels would cost more device time than the saved
+# submissions.
+_POOL_SCAN_CHUNK = 16
+_POOL_SCAN_MIN = 8
+
 
 def pool_padded_len(max_leaf_len: int) -> int:
     """Padded profile length P for a pool run.
@@ -72,8 +83,7 @@ def pool_padded_len(max_leaf_len: int) -> int:
     return _round_capacity(m + max(8, m // 8))
 
 
-@partial(jax.jit, static_argnames=("has_base",), donate_argnums=(0, 1, 2, 3))
-def _pool_level(MU, MB, ST, LN, blk, go, ge, sw, has_base):
+def _pool_level_impl(MU, MB, ST, LN, blk, go, ge, sw, has_base):
     """Run one tree level: gather children, score, DP, merge, scatter.
 
     ``blk`` is the level's [Bp, 3] (ia, ib, iout) slot table — sliced on
@@ -153,6 +163,38 @@ def _pool_level(MU, MB, ST, LN, blk, go, ge, sw, has_base):
     return MU, MB, ST, LN, ops_rev, n_new
 
 
+_pool_level = partial(jax.jit, static_argnames=("has_base",),
+                      donate_argnums=(0, 1, 2, 3))(_pool_level_impl)
+
+
+@partial(jax.jit, static_argnames=("has_base",), donate_argnums=(0, 1, 2, 3))
+def _pool_tail(MU, MB, ST, LN, blks, go, ge, sw, has_base):
+    """Run a fixed-width chunk of consecutive batch-1 tree levels as ONE
+    device program: ``lax.scan`` over ``blks`` [_POOL_SCAN_CHUNK, 3],
+    each step a full batch-1 level (score + DP + merge + scatter).  The
+    levels are sequentially dependent (each merge's children may be the
+    previous merge's output), which is exactly what scan expresses —
+    the caterpillar tail becomes a handful of submissions instead of one
+    per level.  Chunk-padding rows use the (0, 0, dump-slot) convention
+    of run_progressive_pool's batch padding: a real DP on leaf 0 whose
+    result lands in the dump slot and whose op rows the host discards.
+
+    Returns the updated pool plus per-level reverse-order op codes
+    [_POOL_SCAN_CHUNK, 2P] and merged lengths [_POOL_SCAN_CHUNK]."""
+
+    def body(carry, blk):
+        MU, MB, ST, LN = carry
+        MU, MB, ST, LN, ops_rev, n_new = _pool_level_impl(
+            MU, MB, ST, LN, blk[None, :], go, ge, sw, has_base
+        )
+        return (MU, MB, ST, LN), (ops_rev[0], n_new[0])
+
+    (MU, MB, ST, LN), (ops, ns) = jax.lax.scan(
+        body, (MU, MB, ST, LN), blks
+    )
+    return MU, MB, ST, LN, ops, ns
+
+
 def run_progressive_pool(levels, leaf_mu, leaf_base, leaf_stem, leaf_len,
                          P, gap_open, gap_extend, seq_weight):
     """Execute the level schedule on a device-resident pool.
@@ -204,43 +246,72 @@ def run_progressive_pool(levels, leaf_mu, leaf_base, leaf_stem, leaf_len,
     # a degraded tunnel.
     Bmax = _pow2_batch(max(len(ia) for ia, _, _ in levels))
 
-    # one [total, 3] index upload for the whole run; levels slice it on
-    # device (3 tiny host uploads per tree level otherwise)
+    # Dispatch plan: each item is either one tree level through the
+    # per-level program ("one": Bp rows of IDX, batch-padded with the
+    # (0, 0, dump) convention) or a chunk of consecutive batch-1 levels
+    # through the scan program ("scan": _POOL_SCAN_CHUNK rows, the tail
+    # chunk padded the same way).  IDX rows are laid out in dispatch
+    # order so ONE upload serves the whole run and every output row
+    # lines up with the concatenated ops/length download.
+    TC = _POOL_SCAN_CHUNK
+    noop = np.asarray([[0, 0, dump]], np.int32)
     rows = []
-    offs = []
-    bps = []
-    off = 0
-    for ia, ib, iout in levels:
-        B = len(ia)
+    plan = []  # ("one", B, Bp) | ("scan", n_real_levels)
+    li = 0
+    while li < len(levels):
+        B = len(levels[li][0])
+        if B == 1:
+            j = li
+            while j < len(levels) and len(levels[j][0]) == 1:
+                j += 1
+            if j - li >= _POOL_SCAN_MIN:
+                for s in range(li, j, TC):
+                    cnt = min(TC, j - s)
+                    for ia, ib, iout in levels[s : s + cnt]:
+                        rows.append(np.asarray(
+                            [[ia[0], ib[0], iout[0]]], np.int32))
+                    rows.extend([noop] * (TC - cnt))
+                    plan.append(("scan", cnt))
+                li = j
+                continue
         Bp = 1 if B == 1 else Bmax
+        ia, ib, iout = levels[li]
         pad = Bp - B
-        lv = np.stack(
+        rows.append(np.stack(
             [
                 np.concatenate([ia, np.zeros(pad, np.int64)]),
                 np.concatenate([ib, np.zeros(pad, np.int64)]),
                 np.concatenate([iout, np.full(pad, dump, np.int64)]),
             ],
             axis=1,
-        ).astype(np.int32)
-        rows.append(lv)
-        offs.append(off)
-        bps.append(Bp)
-        off += Bp
+        ).astype(np.int32))
+        plan.append(("one", B, Bp))
+        li += 1
     IDX = jnp.asarray(np.concatenate(rows, axis=0))
-    OFFS = jnp.asarray(np.asarray(offs, np.int32))
     ZERO = jnp.int32(0)
 
     ops_out = []
     len_out = []
-    for k, Bp in enumerate(bps):
-        # eager on-device slice: stable [Bp, 3] jit signature, no host
-        # upload (OFFS[k] is a device gather)
-        blk = jax.lax.dynamic_slice(IDX, (OFFS[k], ZERO), (Bp, 3))
-        MU, MB, ST, LN, ops_rev, n_new = _pool_level(
-            MU, MB, ST, LN, blk, go, ge, sw, has_base
-        )
+    off = 0
+    n_submit = 0
+    for item in plan:
+        # eager on-device slice: stable jit signature, no host upload
+        if item[0] == "scan":
+            blks = jax.lax.dynamic_slice(IDX, (jnp.int32(off), ZERO), (TC, 3))
+            MU, MB, ST, LN, ops_rev, n_new = _pool_tail(
+                MU, MB, ST, LN, blks, go, ge, sw, has_base
+            )
+            off += TC
+        else:
+            Bp = item[2]
+            blk = jax.lax.dynamic_slice(IDX, (jnp.int32(off), ZERO), (Bp, 3))
+            MU, MB, ST, LN, ops_rev, n_new = _pool_level(
+                MU, MB, ST, LN, blk, go, ge, sw, has_base
+            )
+            off += Bp
         ops_out.append(ops_rev)  # device refs — no sync inside the loop
         len_out.append(n_new)
+        n_submit += 1
     t1 = time.perf_counter()
 
     # ONE device concat + ONE blocking download (per-level np.asarray
@@ -251,15 +322,25 @@ def run_progressive_pool(levels, leaf_mu, leaf_base, leaf_stem, leaf_len,
     t2 = time.perf_counter()
     if timing:
         print(f"[progressive detail] pool enqueue {t1 - t0:.2f}s "
-              f"device+download {t2 - t1:.2f}s levels={len(levels)}")
+              f"device+download {t2 - t1:.2f}s levels={len(levels)} "
+              f"submissions={n_submit}")
 
+    # distribute download rows back to tree levels in plan order
     lengths = []
     ops_host = []
     off = 0
-    for (ia, _, _), Bp in zip(levels, bps):
-        lengths.append(len_all[off : off + len(ia)])
-        ops_host.append(ops_all[off : off + len(ia)])
-        off += Bp
+    for item in plan:
+        if item[0] == "scan":
+            cnt = item[1]
+            for t in range(cnt):
+                ops_host.append(ops_all[off + t : off + t + 1])
+                lengths.append(len_all[off + t : off + t + 1])
+            off += TC
+        else:
+            B, Bp = item[1], item[2]
+            ops_host.append(ops_all[off : off + B])
+            lengths.append(len_all[off : off + B])
+            off += Bp
     if any(int(l.max(initial=0)) > P for l in lengths):
         return None  # overflow: a merge outgrew the padded length
     return ops_host, lengths
@@ -311,6 +392,16 @@ def prewarm_pool_programs(n_leaves: int, P: int, d: int, base_dim: int,
                 )
                 MU, MB, ST, LN = out[:4]
                 jax.block_until_ready(out[4])
+            # the caterpillar-tail scan program (fires mid-stage, after
+            # the wide levels — warm it last)
+            blks = jnp.full((_POOL_SCAN_CHUNK, 3), M - 1, jnp.int32)
+            out = _pool_tail(
+                MU, MB, ST, LN, blks,
+                jnp.float32(-1.0), jnp.float32(-0.1), jnp.float32(0.0),
+                has_base,
+            )
+            MU, MB, ST, LN = out[:4]
+            jax.block_until_ready(out[4])
             if os.environ.get("GINFINITY_MSA_TIMING"):
                 print(f"[progressive detail] pool prewarm done "
                       f"({len(batches)} shapes, {time.perf_counter() - t0:.1f}s)",

@@ -71,6 +71,36 @@ def test_pool_matches_host_path(n, lmax, seed):
     assert host == pool
 
 
+def test_pool_scan_tail_matches_host_path():
+    # A left-deep chain tree is ALL batch-1 levels: 20 levels exceed
+    # _POOL_SCAN_MIN, so the run dispatches through the lax.scan tail
+    # program (one full chunk of _POOL_SCAN_CHUNK=16 plus a padded
+    # 4-level remainder chunk) rather than 20 per-level submissions.
+    from ginfinity_tpu.ops import profile_pool as pp
+
+    rng = np.random.default_rng(7)
+    n = pp._POOL_SCAN_CHUNK + 5  # forces a padded second chunk
+    recs = _family(rng, n, 30)
+    profs = initial_profiles(recs)
+    tree = 0
+    for k in range(1, n):
+        tree = (tree, k)
+    names = [r.name for r in recs]
+    old = os.environ.get("GINFINITY_MSA_POOL")
+    try:
+        os.environ["GINFINITY_MSA_POOL"] = "0"
+        host = msa_from_tree(tree, profs, -1.0, -0.1, 0.0)
+        os.environ["GINFINITY_MSA_POOL"] = "1"
+        pool = msa_from_tree(tree, profs, -1.0, -0.1, 0.0)
+    finally:
+        if old is None:
+            os.environ.pop("GINFINITY_MSA_POOL", None)
+        else:
+            os.environ["GINFINITY_MSA_POOL"] = old
+    assert (profile_to_msa_strings(host, names)
+            == profile_to_msa_strings(pool, names))
+
+
 def test_pool_matches_host_path_with_base_embeddings():
     rng = np.random.default_rng(11)
     recs = _family(rng, 8, 20)
