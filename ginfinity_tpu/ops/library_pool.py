@@ -38,7 +38,10 @@ Two program shapes per batch width: ``_lib_accum`` (scatter one entry
 chunk into the level's score matrices; chunked so a pair-dense level
 cannot blow VMEM/HBM with a [E, Lmax, k] gather) and ``_lib_dp_merge``
 (DP + traceback + POS2COL remap).  Like the profile pool, lane widths
-are collapsed to {1, Bmax}.
+are collapsed to {1, Bmax}, and long runs of batch-1 levels (the NJ
+caterpillar tail) collapse further into the scanned ``_lib_tail``
+program — _POOL_SCAN_CHUNK levels per submission instead of two
+submissions per level.
 
 Precision note (same as ops/profile_pool.py): the host scorer
 accumulates in float64 (np.bincount) while the device scatter-adds in
@@ -58,6 +61,7 @@ import jax
 import jax.numpy as jnp
 
 from ginfinity_tpu.ops.pairhmm import _pow2_batch, _profile_ops_impl
+from ginfinity_tpu.ops.profile_pool import _POOL_SCAN_CHUNK, _POOL_SCAN_MIN
 
 # entries per accumulation chunk: bounds the [EC, Lmax, k] gather
 # temporaries (~EC*Lmax*k*4 bytes each) regardless of how many library
@@ -73,8 +77,7 @@ def _entry_chunk_width(n_pairs: int) -> int:
     return _pow2_batch(min(_ENTRY_CHUNK, max(1, n_pairs)))
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _lib_accum(S, POS2COL, Cv, Ci, pair_a, pair_b, lane, t, flip, w):
+def _lib_accum_impl(S, POS2COL, Cv, Ci, pair_a, pair_b, lane, t, flip, w):
     """Scatter one entry chunk into the level's score matrices.
 
     S [Bp, P, P] (donated accumulator); POS2COL [N, P] current
@@ -104,8 +107,10 @@ def _lib_accum(S, POS2COL, Cv, Ci, pair_a, pair_b, lane, t, flip, w):
     )
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _lib_dp_merge(POS2COL, LN, S, blk, denom, mlane, mside, go, ge):
+_lib_accum = partial(jax.jit, donate_argnums=(0,))(_lib_accum_impl)
+
+
+def _lib_dp_merge_impl(POS2COL, LN, S, blk, denom, mlane, mside, go, ge):
     """DP + traceback on the accumulated score matrices, then remap
     every member's position->column map through its merge's ops.
 
@@ -149,6 +154,48 @@ def _lib_dp_merge(POS2COL, LN, S, blk, denom, mlane, mside, go, ge):
     )
     LN = LN.at[iout].set(n_new)
     return POS2COL, LN, ops_rev, n_new
+
+
+_lib_dp_merge = partial(jax.jit, donate_argnums=(0, 1))(_lib_dp_merge_impl)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _lib_tail(POS2COL, LN, Cv, Ci, pa, pb, blks, denoms, mlanes, msides,
+              tids, flips, ws, go, ge):
+    """Run a fixed-width chunk of consecutive batch-1 tree levels as ONE
+    device program (the library-mode analogue of
+    profile_pool._pool_tail): ``lax.scan`` over stacked per-level
+    inputs, each step one entry-chunk scatter + one batch-1 DP/merge.
+    Levels are sequentially dependent through POS2COL/LN, which is what
+    the scan expresses — an NJ caterpillar tail becomes a handful of
+    submissions instead of two per level (accumulate + merge).
+
+    Only levels whose entry list fits ONE accumulation chunk ride this
+    program (run_library_pool's planner guarantees it); chunk-padding
+    no-op levels use blk (0, 0, dump) / mside 2 (every member idle, so
+    POS2COL passes through) / w 0 (the scatter adds zeros).
+
+    Returns the updated maps plus per-level reverse-order op codes
+    [_POOL_SCAN_CHUNK, 2P] and merged lengths [_POOL_SCAN_CHUNK]."""
+    P = POS2COL.shape[1]
+    zero_lane = jnp.zeros((tids.shape[1],), jnp.int32)
+
+    def body(carry, xs):
+        POS2COL, LN = carry
+        blk, denom, mlane, mside, tid, flip, w = xs
+        S = jnp.zeros((1, P, P), jnp.float32)
+        S = _lib_accum_impl(
+            S, POS2COL, Cv, Ci, pa, pb, zero_lane, tid, flip, w
+        )
+        POS2COL, LN, ops_rev, n_new = _lib_dp_merge_impl(
+            POS2COL, LN, S, blk[None, :], denom[None], mlane, mside, go, ge
+        )
+        return (POS2COL, LN), (ops_rev[0], n_new[0])
+
+    (POS2COL, LN), (ops, ns) = jax.lax.scan(
+        body, (POS2COL, LN), (blks, denoms, mlanes, msides, tids, flips, ws)
+    )
+    return POS2COL, LN, ops, ns
 
 
 @jax.jit
@@ -282,6 +329,19 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
                     jnp.zeros((n_seq,), jnp.int32),
                     jnp.full((n_seq,), 2, jnp.int32), go, go,
                 )[2].block_until_ready()
+            # the caterpillar-tail scan program (fires after the wide
+            # levels — warm it last)
+            TC = _POOL_SCAN_CHUNK
+            _lib_tail(
+                jnp.zeros((n_seq, P), jnp.int32), jnp.ones((M,), jnp.int32),
+                Cv, Ci, pa, pb,
+                jnp.zeros((TC, 3), jnp.int32), jnp.ones((TC,), jnp.float32),
+                jnp.zeros((TC, n_seq), jnp.int32),
+                jnp.full((TC, n_seq), 2, jnp.int32),
+                jnp.zeros((TC, EC), jnp.int32),
+                jnp.zeros((TC, EC), jnp.int32),
+                jnp.zeros((TC, EC), jnp.float32), go, go,
+            )[2].block_until_ready()
             if refine_len > 0:
                 from ginfinity_tpu.graphs.batching import _round_capacity
 
@@ -398,8 +458,60 @@ def run_library_pool(schedule, Cv_d, Ci_d, pair_a, pair_b,
 
     timing = os.environ.get("GINFINITY_MSA_TIMING")
     t0 = time.perf_counter()
+
+    # Dispatch plan: runs of >= _POOL_SCAN_MIN consecutive batch-1
+    # levels that each fit ONE entry chunk ride the scanned tail program
+    # in _POOL_SCAN_CHUNK groups (the NJ caterpillar tail is 2 dispatches
+    # per level otherwise); everything else keeps the per-level path.
+    TC = _POOL_SCAN_CHUNK
+    N_members = POS2COL.shape[0]
+    plan = []  # ("one", level) | ("scan", [levels])
+    li = 0
+    while li < len(schedule):
+        if len(schedule[li][0]) == 1 and len(schedule[li][1]) <= EC:
+            j = li
+            while (j < len(schedule) and len(schedule[j][0]) == 1
+                   and len(schedule[j][1]) <= EC):
+                j += 1
+            if j - li >= _POOL_SCAN_MIN:
+                for s in range(li, j, TC):
+                    plan.append(("scan", schedule[s : s + TC]))
+                li = j
+                continue
+        plan.append(("one", schedule[li]))
+        li += 1
+
     ops_out, len_out, widths = [], [], []
-    for lanes, entries, mlane, mside in schedule:
+    for kind, item in plan:
+        if kind == "scan":
+            cnt = len(item)
+            blks = np.zeros((TC, 3), np.int32)
+            blks[:, 2] = dump
+            denoms = np.ones(TC, np.float32)
+            mlanes = np.zeros((TC, N_members), np.int32)
+            msides = np.full((TC, N_members), 2, np.int32)
+            tids = np.zeros((TC, EC), np.int32)
+            flips = np.zeros((TC, EC), np.int32)
+            ws = np.zeros((TC, EC), np.float32)
+            for t, (lanes, entries, mlane, mside) in enumerate(item):
+                blks[t] = lanes[0][:3]
+                denoms[t] = lanes[0][3]
+                mlanes[t] = mlane
+                msides[t] = mside
+                for i, (_, tt, fl) in enumerate(entries):
+                    tids[t, i], flips[t, i], ws[t, i] = tt, fl, 1.0
+            POS2COL, LN, ops_rev, n_new = _lib_tail(
+                POS2COL, LN, Cv_d, Ci_d, pa, pb,
+                jnp.asarray(blks), jnp.asarray(denoms),
+                jnp.asarray(mlanes), jnp.asarray(msides),
+                jnp.asarray(tids), jnp.asarray(flips), jnp.asarray(ws),
+                go, ge,
+            )
+            ops_out.append(ops_rev)             # [TC, 2P] device ref
+            len_out.append(n_new)
+            widths.append(("scan", cnt))
+            continue
+        lanes, entries, mlane, mside = item
         B = len(lanes)
         Bp = 1 if B == 1 else Bmax
         blk = np.zeros((Bp, 3), np.int32)
@@ -418,7 +530,7 @@ def run_library_pool(schedule, Cv_d, Ci_d, pair_a, pair_b,
         )
         ops_out.append(ops_rev)                 # device refs — no sync
         len_out.append(n_new)
-        widths.append((B, Bp))
+        widths.append(("one", B, Bp))
     t1 = time.perf_counter()
 
     # ONE blocking download for the whole run (see profile_pool)
@@ -427,11 +539,19 @@ def run_library_pool(schedule, Cv_d, Ci_d, pair_a, pair_b,
     t2 = time.perf_counter()
     if timing:
         print(f"[progressive detail] library pool enqueue {t1 - t0:.2f}s "
-              f"device+download {t2 - t1:.2f}s levels={len(schedule)}")
+              f"device+download {t2 - t1:.2f}s levels={len(schedule)} "
+              f"submissions={len(plan)}")
 
     ops_host, lengths = [], []
     off = 0
-    for B, Bp in widths:
+    for w in widths:
+        if w[0] == "scan":
+            for t in range(w[1]):
+                ops_host.append(ops_all[off + t : off + t + 1])
+                lengths.append(len_all[off + t : off + t + 1])
+            off += TC
+            continue
+        _, B, Bp = w
         ops_host.append(ops_all[off : off + B])
         lengths.append(len_all[off : off + B])
         off += Bp

@@ -99,6 +99,74 @@ class TestLibraryPoolParity:
         pool = _align(profiles, tree, dev_lib, dev_lib.score_matrix, pool=True)
         _assert_profiles_equal(host, pool)
 
+    def test_scan_tail_matches_host_scorer_loop(self):
+        """A left-deep chain tree is ALL batch-1 levels: with more
+        levels than _POOL_SCAN_MIN the pool dispatches through the
+        scanned _lib_tail program (one full _POOL_SCAN_CHUNK group plus
+        a padded remainder group) and must still reproduce the host
+        scorer loop byte-for-byte.
+
+        The library is built diagonal-dominant (each position's top
+        partner is its own index) so chained merges stay near the leaf
+        length and the pool CANNOT overflow — _msa_from_tree_pool_library
+        returning a Profile (not None) is asserted, otherwise a silent
+        host fallback would pass this test without ever validating the
+        scan program's results."""
+        import jax.numpy as jnp
+
+        from ginfinity_tpu.graphs.batching import _round_capacity
+        from ginfinity_tpu.ops.library_pool import _POOL_SCAN_CHUNK
+        from ginfinity_tpu.pipelines.msa import (
+            PosteriorLibrary,
+            _msa_from_tree_pool_library,
+            msa_from_tree,
+        )
+
+        rng = np.random.default_rng(61)
+        n = _POOL_SCAN_CHUNK + 5        # forces a padded second group
+        profiles = _family(rng, n=n, lo=16, hi=20)
+        lens = [p.mu_struct.shape[0] for p in profiles]
+        # diagonal-dominant sparse slabs on the 1/64 grid (see module
+        # docstring): strong own-index match + weak random alternatives
+        k = 4
+        Lcap = _round_capacity(max(lens))
+        pairs = [(a, b) for a in range(n) for b in range(a + 1, n)
+                 if rng.random() < 0.5]
+        T = len(pairs)
+        vals = np.zeros((T, Lcap, k), np.float32)
+        idx = np.zeros((T, Lcap, k), np.int32)
+        for t, (a, b) in enumerate(pairs):
+            la, lb = lens[a], lens[b]
+            vals[t, :la, 0] = 48 / 64.0
+            idx[t, :la, 0] = np.minimum(np.arange(la), lb - 1)
+            vals[t, :la, 1:] = (
+                rng.integers(0, 8, size=(la, k - 1)) / 64.0)
+            idx[t, :la, 1:] = rng.integers(0, lb, size=(la, k - 1))
+        tree = 0
+        for t in range(1, n):
+            tree = (tree, t)
+        internals = []
+
+        def walk(node):
+            if isinstance(node, int):
+                return
+            walk(node[0])
+            walk(node[1])
+            internals.append(node)
+
+        walk(tree)
+        host_lib = PosteriorLibrary(pairs, vals, idx, lens)
+        dev_lib = PosteriorLibrary(
+            pairs, None, None, lens,
+            device_slabs=(jnp.asarray(vals), jnp.asarray(idx)),
+        )
+        host = msa_from_tree(tree, profiles, -0.25, -0.125,
+                             scorer=host_lib.score_matrix)
+        pool = _msa_from_tree_pool_library(
+            tree, internals, profiles, dev_lib, -0.25, -0.125)
+        assert pool is not None, "pool overflowed — scan path not tested"
+        _assert_profiles_equal(host, pool)
+
     def test_nonzero_gap_costs(self):
         import jax.numpy as jnp
 

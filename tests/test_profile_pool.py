@@ -86,17 +86,31 @@ def test_pool_scan_tail_matches_host_path():
     for k in range(1, n):
         tree = (tree, k)
     names = [r.name for r in recs]
+    internals = []
+
+    def walk(node):
+        if isinstance(node, int):
+            return
+        walk(node[0])
+        walk(node[1])
+        internals.append(node)
+
+    walk(tree)
+    from ginfinity_tpu.pipelines.msa import _msa_from_tree_pool
+
     old = os.environ.get("GINFINITY_MSA_POOL")
     try:
         os.environ["GINFINITY_MSA_POOL"] = "0"
         host = msa_from_tree(tree, profs, -1.0, -0.1, 0.0)
-        os.environ["GINFINITY_MSA_POOL"] = "1"
-        pool = msa_from_tree(tree, profs, -1.0, -0.1, 0.0)
+        # direct pool call: None would mean overflow -> a silent host
+        # fallback, which would pass parity without testing the scan
+        pool = _msa_from_tree_pool(tree, internals, profs, -1.0, -0.1, 0.0)
     finally:
         if old is None:
             os.environ.pop("GINFINITY_MSA_POOL", None)
         else:
             os.environ["GINFINITY_MSA_POOL"] = old
+    assert pool is not None, "pool overflowed — scan path not tested"
     assert (profile_to_msa_strings(host, names)
             == profile_to_msa_strings(pool, names))
 
