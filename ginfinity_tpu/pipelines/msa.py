@@ -1642,9 +1642,18 @@ def iterative_refinement(
     if iters <= 0 or len(members) < 3:
         stats["sp_final"] = best_score
         return best, stats
-    for _ in range(int(iters)):
-        k = int(rng.integers(1, len(members)))
-        side = set(rng.choice(np.asarray(members), size=k, replace=False).tolist())
+    for it in range(int(iters)):
+        if it < len(members):
+            # leave-one-out sweep first (MUSCLE-style): re-aligning a
+            # single sequence against the rest is the highest-yield
+            # restricted partition and deterministic coverage beats
+            # waiting for random draws to hit each singleton
+            side = {members[it]}
+        else:
+            k = int(rng.integers(1, len(members)))
+            side = set(
+                rng.choice(np.asarray(members), size=k, replace=False).tolist()
+            )
         part_a = [m for m in best.member_indices if m in side]
         part_b = [m for m in best.member_indices if m not in side]
         if not part_a or not part_b:
