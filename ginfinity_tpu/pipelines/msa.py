@@ -1619,6 +1619,35 @@ def extract_subprofile(profile: Profile, members: list[int],
     return Profile(mu_s, mu_b, stem, list(members), aligned)
 
 
+def tree_partitions(tree, n: int) -> list[frozenset]:
+    """Member sets of the guide tree's internal edges (sizes 2..n-2),
+    deduplicated with their complements — the MUSCLE stage-3 restricted
+    partitions (singletons are covered by the refinement's leave-one-out
+    sweep).  Order: shallow subtrees first (closest to the root merge,
+    where progressive errors concentrate)."""
+    sets: list[frozenset] = []
+
+    def walk(node) -> frozenset:
+        if isinstance(node, int):
+            return frozenset((node,))
+        s = walk(node[0]) | walk(node[1])
+        if 2 <= len(s) <= n - 2:
+            sets.append(s)
+        return s
+
+    walk(tree)
+    seen: set[frozenset] = set()
+    out: list[frozenset] = []
+    for s in reversed(sets):  # reversed post-order = root-adjacent first
+        comp = frozenset(range(n)) - s
+        key = min(s, comp, key=lambda x: tuple(sorted(x)))
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(s)
+    return out
+
+
 def iterative_refinement(
     aln: Profile,
     seq_profiles: list[Profile],
@@ -1629,8 +1658,13 @@ def iterative_refinement(
     seq_weight: float = 0.0,
     scorer=None,
     merge_ops_fn=None,
+    partitions: list[frozenset] | None = None,
 ) -> tuple[Profile, dict]:
     """Split-and-realign refinement; returns (best alignment, stats).
+
+    Schedule: a leave-one-out sweep over every member, then the given
+    restricted ``partitions`` (guide-tree edge splits from
+    :func:`tree_partitions`), then random binary splits.
 
     ``merge_ops_fn(A, B, go, ge)`` (PosteriorLibrary.merge_ops) is the
     device-fused scorer+DP fast path; when it returns None (or is not
@@ -1642,6 +1676,7 @@ def iterative_refinement(
     if iters <= 0 or len(members) < 3:
         stats["sp_final"] = best_score
         return best, stats
+    parts = partitions or []
     for it in range(int(iters)):
         if it < len(members):
             # leave-one-out sweep first (MUSCLE-style): re-aligning a
@@ -1649,6 +1684,8 @@ def iterative_refinement(
             # restricted partition and deterministic coverage beats
             # waiting for random draws to hit each singleton
             side = {members[it]}
+        elif it - len(members) < len(parts):
+            side = set(parts[it - len(members)])
         else:
             k = int(rng.integers(1, len(members)))
             side = set(
@@ -2131,6 +2168,7 @@ def main(argv=None):
             aln, profiles, args.refine_iters, np.random.default_rng(args.seed),
             dp_go, dp_ge, seq_weight=float(args.seq_weight), scorer=scorer,
             merge_ops_fn=library.merge_ops if library is not None else None,
+            partitions=tree_partitions(tree, N),
         )
 
     diagnostics: dict[str, Any] = {
