@@ -502,6 +502,54 @@ class TestRefinement:
         # degenerate cases
         assert sp_score(profs[0], profs) == 0.0
 
+    def test_tree_partitions(self):
+        from ginfinity_tpu.pipelines.msa import tree_partitions
+
+        # chain tree: nested prefixes of sizes 2..n-2
+        t = 0
+        for k in range(1, 6):
+            t = (t, k)
+        assert sorted(tuple(sorted(s)) for s in tree_partitions(t, 6)) == [
+            (0, 1), (0, 1, 2), (0, 1, 2, 3)
+        ]
+        # balanced tree: {0,1} and its complement {2,3} dedupe to ONE split
+        assert [tuple(sorted(s))
+                for s in tree_partitions(((0, 1), (2, 3)), 4)] == [(2, 3)]
+        # root-adjacent (shallow) subtrees come first
+        deep = (((0, 1), 2), (3, (4, 5)))
+        sizes = [len(s) for s in tree_partitions(deep, 6)]
+        assert sizes[0] == 3  # a root child before the leaf-level pairs
+
+    def test_refinement_partitions_schedule_respected(self):
+        """Partitions are tried in order right after the leave-one-out
+        sweep: with iters == n_members + len(partitions) and a scorer
+        that records splits, every scheduled split must appear."""
+        from ginfinity_tpu.pipelines.msa import (
+            iterative_refinement,
+            merge_profiles,
+        )
+
+        rng = np.random.default_rng(3)
+        profs = self._toy_profiles(rng, n_seq=5)
+        aln = profs[0]
+        for k in range(1, 5):
+            aln = merge_profiles(aln, profs[k], -4.0, -0.5)
+        seen = []
+
+        def scorer(A, B):
+            seen.append(frozenset(A.member_indices))
+            la, lb = len(A.stem), len(B.stem)
+            return np.zeros((la, lb), np.float32)
+
+        parts = [frozenset((0, 1)), frozenset((2, 3, 4))]
+        iterative_refinement(
+            aln, profs, 5 + len(parts), np.random.default_rng(0),
+            -4.0, -0.5, scorer=scorer, partitions=parts,
+        )
+        # 5 singleton splits (LOO), then the two scheduled partitions
+        assert [len(s) for s in seen[:5]] == [1] * 5
+        assert seen[5:7] == parts
+
     def test_refinement_never_degrades_and_can_improve(self):
         from ginfinity_tpu.pipelines.msa import (
             iterative_refinement,
