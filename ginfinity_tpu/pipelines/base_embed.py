@@ -8,6 +8,13 @@ RiNALMo is an optional external dependency in the reference as well;
 when unavailable this pipeline exits with a clear message.  The output
 column (``base_embeddings``) feeds --seq-weight blending in the
 aligners and the MSA engine.
+
+Beyond the reference: ``--backend hf`` runs ANY HuggingFace
+``transformers`` encoder (e.g. the multimolecule RNA LMs) from a hub id
+or a local directory — per-residue rows are taken from
+``last_hidden_state`` under the attention mask, with an automatic
+spaced-character retokenize when the model's tokenizer is not
+character-level, then the same BOS/EOS trim as the RiNALMo path.
 """
 
 from __future__ import annotations
@@ -40,6 +47,49 @@ def _load_rinalmo(model_name: str = "giga-v1", device: str | None = None):
     return model, alphabet, dev
 
 
+def _load_hf(model_name: str, device: str | None = None):
+    try:
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+    except ImportError as exc:  # pragma: no cover - transformers is baked in
+        raise SystemExit(
+            "ERROR: the 'transformers' package is required for --backend hf."
+        ) from exc
+    tokenizer = AutoTokenizer.from_pretrained(model_name)
+    model = AutoModel.from_pretrained(model_name)
+    model.eval()
+    dev = torch.device(device) if device else torch.device("cpu")
+    if dev.type == "cuda" and not torch.cuda.is_available():
+        print("[base_embed] --device cuda requested but CUDA is "
+              "unavailable; running on CPU.")
+        dev = torch.device("cpu")
+    return model.to(dev), tokenizer, dev
+
+
+def _hf_embed_batch(model, tokenizer, chunk, dev):
+    """Per-residue hidden states for a batch of RNA sequences from any
+    transformers encoder.  Residue-level alignment requires one token per
+    nucleotide; when the tokenizer merges characters (BPE/WordPiece), the
+    sequence is re-tokenized as space-separated characters, which the
+    standard vocab-lookup tokenizers treat as one token each."""
+    import torch
+
+    n_special = tokenizer.num_special_tokens_to_add()
+    texts = []
+    for seq in chunk:
+        ids = tokenizer(seq, add_special_tokens=True)["input_ids"]
+        texts.append(seq if len(ids) == len(seq) + n_special
+                     else " ".join(seq))
+    enc = tokenizer(texts, return_tensors="pt", padding=True)
+    enc = {k: v.to(dev) for k, v in enc.items()}
+    with torch.no_grad():
+        out = model(**enc)
+    rep = out.last_hidden_state  # [B, T, D]
+    mask = enc["attention_mask"].bool()
+    return [rep[k][mask[k]].float().cpu().numpy()
+            for k in range(rep.shape[0])]
+
+
 def _trim_special(mat, seq_len: int):
     """BOS/EOS trim with the reference's conservative center-crop fallback
     (generate_base_embeddings.py:97-107)."""
@@ -57,11 +107,15 @@ def _trim_special(mat, seq_len: int):
 def generate_base_embeddings(df, output_path, id_column, sequence_column,
                              batch_size=8, quiet=False, keep_cols=None,
                              model_name="giga-v1", use_amp=True,
-                             trim_special=True, device=None):
+                             trim_special=True, device=None,
+                             backend="rinalmo"):
     import pandas as pd
     import torch
 
-    model, alphabet, dev = _load_rinalmo(model_name, device)
+    if backend == "hf":
+        model, tokenizer, dev = _load_hf(model_name, device)
+    else:
+        model, alphabet, dev = _load_rinalmo(model_name, device)
     rows = []
     seqs = df[sequence_column].astype(str).str.upper().str.replace("T", "U").tolist()
     ids = df[id_column].tolist()
@@ -70,16 +124,23 @@ def generate_base_embeddings(df, output_path, id_column, sequence_column,
     with torch.no_grad():
         for s in range(0, len(seqs), batch_size):
             chunk = seqs[s : s + batch_size]
-            tokens = torch.tensor(
-                alphabet.batch_tokenize(chunk), dtype=torch.int64, device=dev
-            )
-            if use_amp:  # pragma: no cover - CUDA-only branch
-                with torch.autocast("cuda"):
-                    out = model(tokens)["representation"]
+            if backend == "hf":
+                # pad rows are already dropped via the attention mask
+                mats = _hf_embed_batch(model, tokenizer, chunk, dev)
             else:
-                out = model(tokens)["representation"]
+                tokens = torch.tensor(
+                    alphabet.batch_tokenize(chunk), dtype=torch.int64,
+                    device=dev,
+                )
+                if use_amp:  # pragma: no cover - CUDA-only branch
+                    with torch.autocast("cuda"):
+                        out = model(tokens)["representation"]
+                else:
+                    out = model(tokens)["representation"]
+                mats = [out[k].float().cpu().numpy()
+                        for k in range(len(chunk))]
             for k, seq in enumerate(chunk):
-                rep = out[k].float().cpu().numpy()
+                rep = mats[k]
                 if trim_special:
                     # batch_tokenize right-pads to the batch max; the
                     # real rows are the leading seq_len+2 (BOS+EOS).
@@ -122,7 +183,13 @@ def build_parser():
     parser.add_argument("--keep-cols", default=None,
                         help="Comma-separated extra columns to carry through.")
     parser.add_argument("--model-name", default="giga-v1",
-                        help="RiNALMo pretrained model name.")
+                        help="RiNALMo pretrained model name, or (with "
+                             "--backend hf) a transformers hub id / local "
+                             "model directory.")
+    parser.add_argument("--backend", choices=("rinalmo", "hf"),
+                        default="rinalmo",
+                        help="LM backend: 'rinalmo' (reference parity) or "
+                             "'hf' (any HuggingFace transformers encoder).")
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--device", default=None, help="Reference CLI compatibility.")
     parser.add_argument("--no-amp", dest="use_amp", action="store_false",
@@ -156,6 +223,7 @@ def main(argv=None):
         df, args.output, args.id_column, args.sequence_column,
         args.batch_size, args.quiet, keep_cols, args.model_name,
         args.use_amp, args.trim_special, device=args.device,
+        backend=args.backend,
     )
 
 
