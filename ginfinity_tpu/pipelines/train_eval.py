@@ -117,6 +117,20 @@ METHODS_BUDGET = [  # METHODS.MD:32: 3 rounds, lr 5e-4/1e-4/1e-5, ...
 ]
 
 
+# Architecture flag sets for the training probe.  "packaged" mirrors the
+# shipped checkpoint (6x GINE-128, standard encoding); "flagship" is the
+# reference's production alignment-training config — 4 layers, hidden
+# 256,512,512,512 -> output 512, forgi encoding
+# (run_training_alignment_mode.sh.back:1-30).
+ARCH_FLAGS = {
+    "packaged": ["--hidden_dim", "128", "--gin_layers", "6",
+                 "--output_dim", "128"],
+    "flagship": ["--hidden_dim", "256,512,512,512", "--gin_layers", "4",
+                 "--output_dim", "512", "--graph_encoding", "forgi",
+                 "--pooling_type", "global_mean_pool"],
+}
+
+
 def train_packaged_architecture(
     data_p: str,
     map_p: str,
@@ -124,11 +138,12 @@ def train_packaged_architecture(
     rounds: list[dict] | None = None,
     batch_size: int = 32,
     model_id: str = "trained_eval",
+    arch: str = "packaged",
 ) -> tuple[str, float]:
-    """Run the multi-round schedule on the packaged architecture
-    (6x GINE-128, standard, GraphNorm, zscore_l2, mean pool — BASELINE.md)
-    with the alignment-contrastive objective; returns (.pth path,
-    wall-clock seconds)."""
+    """Run the multi-round schedule on a named architecture (see
+    ``ARCH_FLAGS``; default mirrors the packaged checkpoint) with the
+    alignment-contrastive objective; returns (.pth path, wall-clock
+    seconds)."""
     from ginfinity_tpu.training.train_cli import main as train_main
 
     rounds = rounds if rounds is not None else METHODS_BUDGET
@@ -156,7 +171,7 @@ def train_packaged_architecture(
         train_main([
             "--schedule", sched_p, "--model_id", model_id,
             "--training_mode", "alignment",
-            "--hidden_dim", "128", "--gin_layers", "6", "--output_dim", "128",
+            *ARCH_FLAGS[arch],
             "--norm_type", "graph", "--node_embed_norm", "zscore_l2",
             "--normalize_nodes_before_pool", "--dropout", "0.05",
             "--batch_size", str(batch_size), "--val_fraction", "0.03",
@@ -289,6 +304,7 @@ def compare_trained_vs_packaged(
     rounds: list[dict] | None = None,
     n_train_families: int = 120,
     n_eval_families: int = 24,
+    arch: str = "packaged",
 ) -> dict:
     """End-to-end: generate data, train, evaluate both checkpoints."""
     data_p, map_p, eval_families = generate_alignment_training_data(
@@ -296,7 +312,7 @@ def compare_trained_vs_packaged(
         n_eval_families=n_eval_families,
     )
     ckpt, train_wall = train_packaged_architecture(
-        data_p, map_p, workdir, rounds=rounds
+        data_p, map_p, workdir, rounds=rounds, arch=arch
     )
     out = {"train_wall_sec": round(train_wall, 1)}
     for name, path in (("trained", ckpt), ("packaged", PACKAGED)):
@@ -308,4 +324,5 @@ def compare_trained_vs_packaged(
         )
     out["n_train_families"] = n_train_families
     out["n_eval_families"] = n_eval_families
+    out["arch"] = arch
     return out

@@ -61,3 +61,24 @@ class TestTrainEval:
 
     def test_wall_clock_recorded(self, result):
         assert result["train_wall_sec"] > 0
+
+    def test_flagship_architecture_trains_and_evaluates(self, tmp_path):
+        """The reference's production config (4 layers, 256,512,512,512
+        -> 512, forgi encoding — run_training_alignment_mode.sh.back)
+        must run through the same schedule + eval harness: the forgi
+        featurizer, the comma hidden-dim ladder, and architecture-
+        specific eval preprocessing all plumb through."""
+        import contextlib
+        import io
+
+        from ginfinity_tpu.pipelines.train_eval import compare_trained_vs_packaged
+
+        tiny = [{"lr": 5e-4, "decay_rate": 0.98, "patience": 2, "num_epochs": 2}]
+        with contextlib.redirect_stdout(io.StringIO()):
+            result = compare_trained_vs_packaged(
+                str(tmp_path), rounds=tiny, n_train_families=6,
+                n_eval_families=4, arch="flagship",
+            )
+        assert result["arch"] == "flagship"
+        assert 0.0 <= result["trained_recall_at_10"] <= 1.0
+        assert 0.0 <= result["trained_alignment_sp_f1"] <= 1.0
