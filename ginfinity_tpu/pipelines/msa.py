@@ -1805,10 +1805,19 @@ def build_parser():
     ap.add_argument("--out-prefix", default=None)
     ap.add_argument("--topk", type=int, default=20)
     ap.add_argument("--consistency-rounds", type=int, default=1)
-    ap.add_argument("--alpha", type=float, default=None)
+    ap.add_argument("--alpha", type=float, default=None,
+                    help="Cosine->log-odds calibration slope. Default is "
+                         "mode-dependent: 5.0 in profile mode (reference "
+                         "parity, embed_msa.py:1262/1336) and 8.0 in "
+                         "library mode (quality-tuned; see BASELINE.md "
+                         "MSA parameter tuning).")
     ap.add_argument("--beta", type=float, default=None)
     ap.add_argument("--seq-weight", type=float, default=0.0)
-    ap.add_argument("--gap-open", type=float, default=-10.0)
+    ap.add_argument("--gap-open", type=float, default=None,
+                    help="Pair-HMM gap-open log-odds. Default is "
+                         "mode-dependent: -10.0 in profile mode "
+                         "(reference parity, embed_msa.py:1265) and "
+                         "-4.0 in library mode (quality-tuned).")
     ap.add_argument("--gap-extend", type=float, default=-0.5)
     ap.add_argument("--use-center", type=float, default=None)
     ap.add_argument("--use-local", action="store_true",
@@ -1952,10 +1961,21 @@ def main(argv=None):
 
         prewarm_profile_programs(lmax_rec, max(1, N // 2))
 
-    alpha = args.alpha if args.alpha is not None else 5.0
+    # Mode-dependent defaults: profile mode keeps the reference's values
+    # (embed_msa.py:1262-1266, 1336); library mode uses the values from
+    # the coordinate sweep + out-of-sample validation (BASELINE.md "MSA
+    # parameter tuning": +0.07 SP-F1 over the reference defaults on
+    # held-out known-homology families). Explicit flags always win.
+    want_library_defaults = args.dp_score == "library"
+    alpha_default = 8.0 if want_library_defaults else 5.0
+    gap_open_default = -4.0 if want_library_defaults else -10.0
+    if args.gap_open is None:
+        args.gap_open = gap_open_default
+    alpha = args.alpha if args.alpha is not None else alpha_default
     beta = args.beta if args.beta is not None else 0.0
     if args.alpha is None or args.beta is None:
-        print("[WARN] alpha/beta not fully provided; falling back to default alpha=5.0, beta=0.0")
+        print(f"[WARN] alpha/beta not fully provided; falling back to "
+              f"default alpha={alpha}, beta={beta}")
 
     stage_times: dict[str, float] = {}
 

@@ -709,3 +709,39 @@ class TestDualModalityDevicePath:
         assert abs(e0[0][1] - e6[0][1]) > 1e-6
         # pair (0,2): record 2 has none -> blend is a no-op
         np.testing.assert_allclose(e0[0][2], e6[0][2], rtol=1e-5)
+
+
+class TestModeDependentDefaults:
+    """--gap-open/--alpha defaults are mode-dependent: profile mode keeps
+    the reference's values (embed_msa.py:1262-1266), library mode uses
+    the sweep-validated values (+0.07 held-out SP-F1, BASELINE.md "MSA
+    parameter tuning"). Explicit flags always win in both modes."""
+
+    def _run_meta(self, tmp_path, name, extra):
+        import json
+
+        from ginfinity_tpu.pipelines.msa import main
+
+        prefix = str(tmp_path / name / "msa")
+        main(["--input", "dummy", "--out-prefix", prefix,
+              "--max-pairs", "100", *extra])
+        with open(prefix + ".diagnostics/run_meta.json") as f:
+            return json.load(f)
+
+    def test_profile_defaults_reference_parity(self, tmp_path):
+        meta = self._run_meta(tmp_path, "prof", [])
+        assert meta["gap_open"] == -10.0
+        assert meta["alpha"] == 5.0
+
+    def test_library_defaults_tuned(self, tmp_path):
+        meta = self._run_meta(tmp_path, "lib", ["--dp-score", "library"])
+        assert meta["gap_open"] == -4.0
+        assert meta["alpha"] == 8.0
+
+    def test_explicit_flags_win_in_library_mode(self, tmp_path):
+        meta = self._run_meta(
+            tmp_path, "explicit",
+            ["--dp-score", "library", "--gap-open", "-10", "--alpha", "5"],
+        )
+        assert meta["gap_open"] == -10.0
+        assert meta["alpha"] == 5.0
