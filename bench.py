@@ -266,7 +266,8 @@ def measure_msa_quality(families=2, n_seqs=5, anc_len=120):
             )
             with contextlib.redirect_stdout(sys.stderr):
                 res = compare_on_family(members, CKPT, os.path.join(td, f"f{f}"))
-            for k in ("repo", "repo_library", "reference"):
+            for k in ("repo", "repo_library", "repo_library_tuned",
+                      "reference"):
                 agg.setdefault(k + "_sp_f1", []).append(res[k]["sp_f1"])
                 agg.setdefault(k + "_wall_sec", []).append(res[k]["wall_sec"])
     out = {k: round(float(np.mean(v)), 4) for k, v in agg.items()}

@@ -354,17 +354,27 @@ def compare_on_family(
 
     repo_prefix = os.path.join(workdir, "repo", "msa")
     lib_prefix = os.path.join(workdir, "repo_library", "msa")
+    tuned_prefix = os.path.join(workdir, "repo_library_tuned", "msa")
     ref_prefix = os.path.join(workdir, "ref", "msa")
     repo_sec = run_repo_msa(tsv, repo_prefix, params)
     lib_sec = run_repo_msa(tsv, lib_prefix, params, dp_score="library")
+    # library mode at the repo's OUT-OF-BOX defaults (mode-resolved
+    # gap_open/alpha, BASELINE.md "MSA parameter tuning") — what a user
+    # gets with no flags; params above stay reference-identical
+    tuned_params = {k: v for k, v in params.items()
+                    if k not in ("alpha", "beta", "gap_open", "gap_extend")}
+    tuned_sec = run_repo_msa(tsv, tuned_prefix, tuned_params,
+                             dp_score="library")
     ref_sec = run_reference_msa(tsv, ref_prefix, params)
 
     repo_scores = sp_scores(load_aln_tsv(repo_prefix + ".aln.tsv"), members)
     lib_scores = sp_scores(load_aln_tsv(lib_prefix + ".aln.tsv"), members)
+    tuned_scores = sp_scores(load_aln_tsv(tuned_prefix + ".aln.tsv"), members)
     ref_scores = sp_scores(load_aln_tsv(ref_prefix + ".aln.tsv"), members)
     return {
         "repo": {**repo_scores, "wall_sec": round(repo_sec, 2)},
         "repo_library": {**lib_scores, "wall_sec": round(lib_sec, 2)},
+        "repo_library_tuned": {**tuned_scores, "wall_sec": round(tuned_sec, 2)},
         "reference": {**ref_scores, "wall_sec": round(ref_sec, 2)},
         "params": params,
         "n_seqs": len(members),

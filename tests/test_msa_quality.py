@@ -108,6 +108,18 @@ class TestMsaQualityVsReference:
         for r in results:
             assert r["repo_library"]["sp_f1"] >= r["reference"]["sp_f1"], r
 
+    def test_tuned_defaults_do_not_regress(self, comparison):
+        """Out-of-box library mode (mode-resolved gap_open/alpha,
+        BASELINE.md 'MSA parameter tuning') must stay at least at the
+        reference-parameter library level on average, and clearly above
+        the reference."""
+        results, _ = comparison
+        lib = np.mean([r["repo_library"]["sp_f1"] for r in results])
+        tuned = np.mean([r["repo_library_tuned"]["sp_f1"] for r in results])
+        ref = np.mean([r["reference"]["sp_f1"] for r in results])
+        assert tuned >= lib - 0.03, (tuned, lib)
+        assert tuned >= ref + 0.1, (tuned, ref)
+
     def test_alignments_score_nontrivially(self, comparison):
         results, _ = comparison
         for r in results:
