@@ -49,6 +49,37 @@ def argparse_flags(path):
     return out
 
 
+def argparse_literal_defaults(path):
+    """{long option: literal default} for add_argument calls whose
+    ``default=`` is a plain constant (or a negated numeric constant);
+    computed defaults are skipped — they cannot drift silently here
+    without a code change that reviews would see."""
+    tree = ast.parse(open(path).read())
+    out = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call):
+            f = node.func
+            if getattr(f, "attr", getattr(f, "id", "")) != "add_argument":
+                continue
+            names = [a.value for a in node.args
+                     if isinstance(a, ast.Constant)
+                     and isinstance(a.value, str)
+                     and a.value.startswith("--")]
+            if not names:
+                continue
+            for kw in node.keywords:
+                if kw.arg != "default":
+                    continue
+                v = kw.value
+                if isinstance(v, ast.Constant):
+                    out[names[0]] = v.value
+                elif (isinstance(v, ast.UnaryOp)
+                      and isinstance(v.op, ast.USub)
+                      and isinstance(v.operand, ast.Constant)):
+                    out[names[0]] = -v.operand.value
+    return out
+
+
 class TestCliFlagSuperset:
     def test_every_reference_flag_exists(self):
         for ref, repo in PAIRS:
@@ -63,6 +94,51 @@ class TestCliFlagSuperset:
             # sanity: the extraction actually saw both parsers
             assert len(ref_flags) >= 5, ref
             assert len(repo_flags) >= len(ref_flags), (ref, repo)
+
+    def test_shared_literal_defaults_match(self):
+        """Semantic defaults (alpha, topk, margins, gap penalties in
+        profile mode, ...) must not silently drift from the reference's.
+        Whitelisted deviations are deliberate and documented:
+
+        - ``--device``/``--batch-size``-style resource defaults: None =
+          auto-resolution on TPU (device pick, capacity-derived batch).
+        - ``--gap-open`` (embed-msa): None = mode-resolved — profile
+          mode keeps the reference's -10, library mode uses the tuned
+          -4 (BASELINE.md "MSA parameter tuning").
+        - ``--alignment-prefetch-factor``: host prefetch depth, a
+          performance default, not semantics.
+        - optimize_embed_msa ``--input``/``--name-a``/``--name-b``:
+          the reference hardcodes the author's personal file paths as
+          defaults (bit-rot); here they are required args.
+          ``--paired-col`` default None = column auto-detection.
+        """
+        allowed = {
+            ("generate_embeddings.py", "--batch-size"),
+            ("generate_embeddings.py", "--device"),
+            ("compute_distances.py", "--batch-size"),
+            ("compute_distances.py", "--device"),
+            ("train_model.py", "--alignment-prefetch-factor"),
+            ("align_node_embeddings_batch.py", "--batch-size"),
+            ("embed_msa.py", "--gap-open"),
+            ("generate_node_embeddings.py", "--batch-size"),
+            ("generate_node_embeddings.py", "--device"),
+            ("generate_base_embeddings.py", "--device"),
+            ("optimize_embed_msa.py", "--input"),
+            ("optimize_embed_msa.py", "--name-a"),
+            ("optimize_embed_msa.py", "--name-b"),
+            ("optimize_embed_msa.py", "--paired-col"),
+        }
+        for ref, repo in PAIRS:
+            ref_d = argparse_literal_defaults(REF_SCRIPTS + ref)
+            repo_d = argparse_literal_defaults(os.path.join(REPO, repo))
+            for flag, rd in ref_d.items():
+                if flag not in repo_d or (ref, flag) in allowed:
+                    continue
+                assert repo_d[flag] == rd, (
+                    f"{repo} default for {flag} drifted: "
+                    f"reference={rd!r} repo={repo_d[flag]!r} "
+                    f"(whitelist it in this test if deliberate)"
+                )
 
     def test_every_reference_console_command_declared(self):
         with open("/root/reference/pyproject.toml", "rb") as f:
