@@ -297,20 +297,36 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
     T = max(1, n_pairs)
     EC = _entry_chunk_width(T)
     M = 2 * max(1, n_seq)
-    # same wide-shape-first guess ladder as the profile pool: the run
-    # uses batch 1 (caterpillar tail) + one Bmax = pow2(widest level)
+    # Core widths the run WILL dispatch: the widest-level guess (the
+    # widest NJ level is usually the first, ~n/12 cherries) and batch 1
+    # (caterpillar tail).  The remaining ladder widths only hedge a
+    # wrong guess — worth warming when the persistent cache is hot
+    # (~1.5 s executable load each) but NOT worth compiling cold: a
+    # fresh P=384-class _lib_dp_merge compile costs seconds-to-tens of
+    # seconds of this host's single CPU, stolen from the foreground
+    # stages, for a program the run most likely never uses.
     n = max(1, b_max * 2)
-    batches = []
-    for guess in (-(-n // 8), 1, 4, 2, -(-n // 4), -(-n // 2)):
+    core = []
+    for guess in (-(-n // 8), 1):
         g = _pow2_batch(max(1, guess))
-        if g not in batches:
-            batches.append(g)
+        if g not in core:
+            core.append(g)
+    extras = []
+    for guess in (4, 2, -(-n // 4), -(-n // 2)):
+        g = _pow2_batch(max(1, guess))
+        if g not in core and g not in extras:
+            extras.append(g)
+    stop = threading.Event()
+    # cold-host detector: if any CORE program took this long it was a
+    # real compile, not a cache load — skip the speculative widths
+    _COLD_SECS = 6.0
 
     def work():
         import os
         import time
 
         t0 = time.perf_counter()
+        n_done = 0
         try:
             Cv = jnp.zeros((T, Ls, K), jnp.float32)
             Ci = jnp.zeros((T, Ls, K), jnp.int32)
@@ -319,7 +335,9 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
             lane = jnp.zeros((EC,), jnp.int32)
             w = jnp.zeros((EC,), jnp.float32)
             go = jnp.float32(0.0)
-            for B in batches:
+            cold = False
+
+            def warm_width(B):
                 S = jnp.zeros((B, P, P), jnp.float32)
                 POS = jnp.zeros((n_seq, P), jnp.int32)
                 S = _lib_accum(S, POS, Cv, Ci, pa, pb, lane, lane, lane, w)
@@ -329,9 +347,23 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
                     jnp.zeros((n_seq,), jnp.int32),
                     jnp.full((n_seq,), 2, jnp.int32), go, go,
                 )[2].block_until_ready()
-            # the caterpillar-tail scan program (fires after the wide
-            # levels — warm it last)
+
+            for B in core:
+                if stop.is_set():
+                    return
+                ts = time.perf_counter()
+                warm_width(B)
+                cold |= (time.perf_counter() - ts) > _COLD_SECS
+                n_done += 1
+            # the caterpillar-tail scan program — guaranteed to fire on
+            # any non-trivial NJ tree, and the most expensive compile
+            # (~38 s measured cold), so it comes right after the core
+            # widths: even if the process exits first, the exit join
+            # lets it finish and commit to the persistent cache
+            if stop.is_set():
+                return
             TC = _POOL_SCAN_CHUNK
+            ts = time.perf_counter()
             _lib_tail(
                 jnp.zeros((n_seq, P), jnp.int32), jnp.ones((M,), jnp.int32),
                 Cv, Ci, pa, pb,
@@ -342,7 +374,9 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
                 jnp.zeros((TC, EC), jnp.int32),
                 jnp.zeros((TC, EC), jnp.float32), go, go,
             )[2].block_until_ready()
-            if refine_len > 0:
+            cold |= (time.perf_counter() - ts) > _COLD_SECS
+            n_done += 1
+            if refine_len > 0 and not stop.is_set():
                 from ginfinity_tpu.graphs.batching import _round_capacity
 
                 Pr = _round_capacity(max(refine_len, Ls))
@@ -353,10 +387,17 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
                     S, jnp.ones((1,), jnp.float32), jnp.ones((1,), jnp.int32),
                     jnp.ones((1,), jnp.int32), go, go,
                 ).block_until_ready()
+                n_done += 1
+            if not cold:
+                for B in extras:
+                    if stop.is_set():
+                        return
+                    warm_width(B)
+                    n_done += 1
             if os.environ.get("GINFINITY_MSA_TIMING"):
                 print(f"[prewarm] library-pool programs "
-                      f"({len(batches)} widths, EC={EC}, P={P}) "
-                      f"{time.perf_counter() - t0:.2f}s")
+                      f"({n_done} programs, cold={cold}, EC={EC}, P={P}) "
+                      f"{time.perf_counter() - t0:.2f}s", flush=True)
         except Exception:  # pragma: no cover - prewarm is best-effort
             pass
 
@@ -365,7 +406,7 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
     th = threading.Thread(
         target=work, name="ginfinity-library-prewarm", daemon=True
     )
-    register_prewarm_thread(th)
+    register_prewarm_thread(th, stop)
     th.start()
     return th
 

@@ -579,9 +579,12 @@ def prewarm_profile_programs(l_cap: int, b_max: int):
     while b <= _pow2_batch(max(1, b_max)):
         batches.append(b)
         b *= 2
+    stop = threading.Event()
 
     def work():
         for B in batches:
+            if stop.is_set():
+                return
             try:
                 r = _profile_ops(
                     jnp.zeros((B, P, P), jnp.float32),
@@ -596,7 +599,7 @@ def prewarm_profile_programs(l_cap: int, b_max: int):
     from ginfinity_tpu.utils.jaxinit import register_prewarm_thread
 
     t = threading.Thread(target=work, daemon=True, name="profile-dp-prewarm")
-    register_prewarm_thread(t)
+    register_prewarm_thread(t, stop)
     t.start()
     return t
 

@@ -361,40 +361,63 @@ def prewarm_pool_programs(n_leaves: int, P: int, d: int, base_dim: int,
 
     # The run uses exactly two batch shapes: 1 (caterpillar tail) and
     # one Bmax = pow2(widest level).  The widest level of an NJ tree is
-    # usually the first one (~n/12 cherries empirically), so warm the
-    # n/8-ish guess first, then 1 (the always-used tail shape), then
-    # the small shapes Bmax lands on for small families, then larger
-    # fallbacks — ordering matters because the progressive stage needs
-    # the WIDE shape first and the prewarm may still be running.
+    # usually the first one (~n/12 cherries empirically), so the CORE
+    # set is the n/8-ish guess plus 1; the remaining ladder widths only
+    # hedge a wrong guess and are warmed ONLY when the persistent cache
+    # is hot (cheap executable loads) — compiling them cold steals this
+    # host's single CPU from the foreground stages for programs the run
+    # most likely never dispatches (see library_pool's twin).
     n = max(1, b_max * 2)
-    batches = []
-    for guess in (-(-n // 8), 1, 4, 2, -(-n // 4), -(-n // 2)):
+    core = []
+    for guess in (-(-n // 8), 1):
         g = _pow2_batch(max(1, guess))
-        if g not in batches:
-            batches.append(g)
+        if g not in core:
+            core.append(g)
+    extras = []
+    for guess in (4, 2, -(-n // 4), -(-n // 2)):
+        g = _pow2_batch(max(1, guess))
+        if g not in core and g not in extras:
+            extras.append(g)
+    stop = threading.Event()
+    _COLD_SECS = 6.0
 
     def work():
         import os
         import time
 
         t0 = time.perf_counter()
+        n_done = 0
         try:
             MU = jnp.zeros((M, P, d), jnp.float32)
             MB = jnp.zeros((M, P, db), jnp.float32)
             ST = jnp.zeros((M, P), jnp.float32)
             LN = jnp.ones((M,), jnp.int32)
-            for B in batches:
+            cold = False
+
+            def warm_width(B, MU, MB, ST, LN):
                 blk = jnp.full((B, 3), M - 1, jnp.int32)
                 out = _pool_level(
                     MU, MB, ST, LN, blk,
                     jnp.float32(-1.0), jnp.float32(-0.1), jnp.float32(0.0),
                     has_base,
                 )
-                MU, MB, ST, LN = out[:4]
                 jax.block_until_ready(out[4])
-            # the caterpillar-tail scan program (fires mid-stage, after
-            # the wide levels — warm it last)
+                return out[:4]
+
+            for B in core:
+                if stop.is_set():
+                    return
+                ts = time.perf_counter()
+                MU, MB, ST, LN = warm_width(B, MU, MB, ST, LN)
+                cold |= (time.perf_counter() - ts) > _COLD_SECS
+                n_done += 1
+            # the caterpillar-tail scan program: guaranteed to fire on
+            # any non-trivial NJ tree and the most expensive compile,
+            # so it follows the core widths directly
+            if stop.is_set():
+                return
             blks = jnp.full((_POOL_SCAN_CHUNK, 3), M - 1, jnp.int32)
+            ts = time.perf_counter()
             out = _pool_tail(
                 MU, MB, ST, LN, blks,
                 jnp.float32(-1.0), jnp.float32(-0.1), jnp.float32(0.0),
@@ -402,9 +425,18 @@ def prewarm_pool_programs(n_leaves: int, P: int, d: int, base_dim: int,
             )
             MU, MB, ST, LN = out[:4]
             jax.block_until_ready(out[4])
+            cold |= (time.perf_counter() - ts) > _COLD_SECS
+            n_done += 1
+            if not cold:
+                for B in extras:
+                    if stop.is_set():
+                        return
+                    MU, MB, ST, LN = warm_width(B, MU, MB, ST, LN)
+                    n_done += 1
             if os.environ.get("GINFINITY_MSA_TIMING"):
                 print(f"[progressive detail] pool prewarm done "
-                      f"({len(batches)} shapes, {time.perf_counter() - t0:.1f}s)",
+                      f"({n_done} programs, cold={cold}, "
+                      f"{time.perf_counter() - t0:.1f}s)",
                       flush=True)
         except Exception as e:  # pragma: no cover - best-effort warmup
             if os.environ.get("GINFINITY_MSA_TIMING"):
@@ -415,6 +447,6 @@ def prewarm_pool_programs(n_leaves: int, P: int, d: int, base_dim: int,
     from ginfinity_tpu.utils.jaxinit import register_prewarm_thread
 
     t = threading.Thread(target=work, daemon=True, name="pool-dp-prewarm")
-    register_prewarm_thread(t)
+    register_prewarm_thread(t, stop)
     t.start()
     return t

@@ -2190,6 +2190,11 @@ def main(argv=None):
             merge_ops_fn=library.merge_ops if library is not None else None,
             partitions=tree_partitions(tree, N),
         )
+    # alignment work is over: any prewarm program not yet started is
+    # pure waste now (and would stall process exit on its compile)
+    from ginfinity_tpu.utils.jaxinit import stop_prewarm_threads
+
+    stop_prewarm_threads()
 
     diagnostics: dict[str, Any] = {
         "expected_scores": expected_scores.tolist(),

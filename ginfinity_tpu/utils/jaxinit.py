@@ -107,19 +107,42 @@ def _fix_cache_dir_for_backend() -> None:
 _prewarm_threads: list = []
 
 
-def register_prewarm_thread(t) -> None:
+def register_prewarm_thread(t, stop_event=None) -> None:
     """Track a background compile/prewarm thread so process exit JOINS
     it instead of the interpreter killing it mid-XLA-compile (daemon
     threads cancelled inside the compiler abort the process with
     'FATAL: exception not rethrown').  Only register threads whose work
     is bounded (program compiles/loads) — NOT the backend warmup probe,
-    which can stall for minutes on a dead tunnel."""
-    _prewarm_threads.append(t)
+    which can stall for minutes on a dead tunnel.
+
+    ``stop_event``: optional threading.Event the worker checks between
+    programs.  Exit (and stop_prewarm_threads) sets it so the thread
+    skips programs it has not started instead of compiling them while
+    the process tries to leave; the in-flight compile still completes
+    (committing it to the persistent XLA cache for future runs)."""
+    _prewarm_threads.append((t, stop_event))
+
+
+def stop_prewarm_threads() -> None:
+    """Ask every registered prewarm thread to skip its not-yet-started
+    programs (pipelines call this once the stage the prewarm serves has
+    finished — any remaining speculative compile is pure waste)."""
+    for _, ev in _prewarm_threads:
+        if ev is not None:
+            ev.set()
 
 
 def _join_prewarm_threads() -> None:  # pragma: no cover - exit path
-    for t in _prewarm_threads:
+    stop_prewarm_threads()
+    import sys
+
+    for t, _ in _prewarm_threads:
         if t.is_alive():
+            print(
+                "[ginfinity] waiting for an in-flight background program "
+                "compile to finish (persists it for future runs)...",
+                file=sys.stderr,
+            )
             t.join(timeout=120)
 
 
