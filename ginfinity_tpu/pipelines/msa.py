@@ -1824,14 +1824,17 @@ def build_parser():
                     help="Local pair-HMM posteriors (restart/end-anywhere "
                          "model; reference embed_msa.py --use-local).")
     ap.add_argument("--tree", choices=["nj", "upgma"], default="nj")
-    ap.add_argument("--dp-score", choices=["profile", "library"], default="profile",
-                    help="Progressive-DP scoring. 'profile' (default) is "
-                         "reference parity: raw mean-embedding dots + stem "
-                         "bonus (embed_msa.py:874-985). 'library' is the "
-                         "T-Coffee/ProbCons-correct mode: columns score by "
-                         "the consistency-transformed match posteriors — "
-                         "measured substantially more accurate on families "
-                         "with known homology (see msa_eval).")
+    ap.add_argument("--dp-score", choices=["profile", "library"],
+                    default="library",
+                    help="Progressive-DP scoring. 'library' (default) is "
+                         "the T-Coffee/ProbCons-correct mode: columns score "
+                         "by the consistency-transformed match posteriors — "
+                         "measured ~3x the reference pipeline's SP-F1 on "
+                         "families with known homology (BASELINE.md 'MSA "
+                         "output quality'). 'profile' is reference parity: "
+                         "raw mean-embedding dots + stem bonus "
+                         "(embed_msa.py:874-985), with the reference's own "
+                         "alpha/gap defaults.")
     ap.add_argument("--dp-gap-open", type=float, default=None,
                     help="Progressive-DP gap open (library mode defaults "
                          "to 0: posterior scores already price gaps).")

@@ -729,9 +729,19 @@ class TestModeDependentDefaults:
             return json.load(f)
 
     def test_profile_defaults_reference_parity(self, tmp_path):
-        meta = self._run_meta(tmp_path, "prof", [])
+        meta = self._run_meta(tmp_path, "prof", ["--dp-score", "profile"])
         assert meta["gap_open"] == -10.0
         assert meta["alpha"] == 5.0
+
+    def test_bare_default_is_tuned_library_mode(self, tmp_path):
+        """Out of the box the CLI runs the measured-quality winner:
+        library scoring with the tuned defaults (BASELINE.md 'MSA
+        parameter tuning'); --dp-score profile restores the reference's
+        scoring and parameter defaults."""
+        meta = self._run_meta(tmp_path, "bare", [])
+        assert meta["dp_score"] == "library"
+        assert meta["gap_open"] == -4.0
+        assert meta["alpha"] == 8.0
 
     def test_library_defaults_tuned(self, tmp_path):
         meta = self._run_meta(tmp_path, "lib", ["--dp-score", "library"])
