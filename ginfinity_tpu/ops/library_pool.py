@@ -69,6 +69,22 @@ from ginfinity_tpu.ops.profile_pool import _POOL_SCAN_CHUNK, _POOL_SCAN_MIN
 _ENTRY_CHUNK = 512
 
 
+def _member_capacity(n: int) -> int:
+    """Pad the member dimension to a power of two.  Pool program shapes
+    must not depend on the exact member count N: every new family size
+    would otherwise compile a fresh program set (~38 s cold for the
+    scanned-tail program alone on a 1-CPU host, measured) instead of
+    hitting the persistent cache.  Padded members are idle (mside 2) in
+    every level, so results are bit-identical."""
+    return _pow2_batch(max(8, n))
+
+
+def _slab_capacity(t: int) -> int:
+    """Pad the library slab count T the same way (zero slabs referenced
+    only by weight-0 padding entries)."""
+    return _pow2_batch(max(64, t))
+
+
 def _entry_chunk_width(n_pairs: int) -> int:
     """The _lib_accum chunk width for a library of ``n_pairs`` — a pure
     function of the library size so every call site (level schedule,
@@ -294,9 +310,14 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
     miss."""
     import threading
 
-    T = max(1, n_pairs)
+    # the same shape buckets run_library_pool pads to — prewarmed
+    # programs therefore match the run's exactly for EVERY family whose
+    # (member, pair) counts land in the same buckets
+    Npad = _member_capacity(n_seq)
+    T = _slab_capacity(max(1, n_pairs))
     EC = _entry_chunk_width(T)
-    M = 2 * max(1, n_seq)
+    M = 2 * Npad
+    n_seq = Npad
     # Core widths the run WILL dispatch: the widest-level guess (the
     # widest NJ level is usually the first, ~n/12 cherries) and batch 1
     # (caterpillar tail).  The remaining ladder widths only hedge a
@@ -474,22 +495,44 @@ def run_library_pool(schedule, Cv_d, Ci_d, pair_a, pair_b,
     overflow (a merge outgrew the padded length P) — the caller falls
     back to the host scorer loop."""
     N = leaf_len.shape[0]
-    M = N + n_internal + 1                      # +1 batch-padding dump slot
-    dump = M - 1
     if Cv_d.shape[1] > P:
         return None                             # slab rows would not map
 
+    # Shape-bucketed state: member dim padded to Npad (extra members are
+    # idle at every level), internal slots shifted to [Npad, 2*Npad-2],
+    # slabs padded to Tpad with zero posteriors.  Program shapes then
+    # depend only on (Npad, Tpad, P, Ls, K) — families of different
+    # sizes share the same cached executables.
+    Npad = _member_capacity(N)
+    shift = Npad - N
+    M = 2 * Npad                                # last slot = padding dump
+    dump = M - 1
+    if N + n_internal + 1 > M:
+        return None                             # cannot happen (binary tree)
+    T = int(pair_a.shape[0])
+    Tpad = _slab_capacity(T)
+    if Tpad > T:
+        Cv_d = jnp.concatenate(
+            [Cv_d, jnp.zeros((Tpad - T,) + Cv_d.shape[1:], Cv_d.dtype)]
+        )
+        Ci_d = jnp.concatenate(
+            [Ci_d, jnp.zeros((Tpad - T,) + Ci_d.shape[1:], Ci_d.dtype)]
+        )
+    pa = jnp.asarray(np.pad(np.asarray(pair_a, np.int32), (0, Tpad - T)))
+    pb = jnp.asarray(np.pad(np.asarray(pair_b, np.int32), (0, Tpad - T)))
+
     POS2COL = jnp.broadcast_to(
-        jnp.arange(P, dtype=jnp.int32)[None, :], (N, P)
-    ) + jnp.zeros((N, 1), jnp.int32)            # materialized identity maps
+        jnp.arange(P, dtype=jnp.int32)[None, :], (Npad, P)
+    ) + jnp.zeros((Npad, 1), jnp.int32)         # materialized identity maps
     LN = jnp.concatenate(
         [jnp.asarray(leaf_len, dtype=jnp.int32),
          jnp.zeros((M - N,), jnp.int32)]
     )
-    pa = jnp.asarray(pair_a, dtype=jnp.int32)
-    pb = jnp.asarray(pair_b, dtype=jnp.int32)
     go = jnp.float32(gap_open)
     ge = jnp.float32(gap_extend)
+
+    def _slot(s):
+        return s if s < N else s + shift
 
     Bmax = _pow2_batch(max(len(lanes) for lanes, _, _, _ in schedule))
     EC = _entry_chunk_width(int(pa.shape[0]))
@@ -535,10 +578,10 @@ def run_library_pool(schedule, Cv_d, Ci_d, pair_a, pair_b,
             flips = np.zeros((TC, EC), np.int32)
             ws = np.zeros((TC, EC), np.float32)
             for t, (lanes, entries, mlane, mside) in enumerate(item):
-                blks[t] = lanes[0][:3]
+                blks[t] = [_slot(s) for s in lanes[0][:3]]
                 denoms[t] = lanes[0][3]
-                mlanes[t] = mlane
-                msides[t] = mside
+                mlanes[t, :N] = mlane
+                msides[t, :N] = mside
                 for i, (_, tt, fl) in enumerate(entries):
                     tids[t, i], flips[t, i], ws[t, i] = tt, fl, 1.0
             POS2COL, LN, ops_rev, n_new = _lib_tail(
@@ -558,16 +601,19 @@ def run_library_pool(schedule, Cv_d, Ci_d, pair_a, pair_b,
         blk = np.zeros((Bp, 3), np.int32)
         denom = np.ones(Bp, np.float32)
         for i, (sa, sb, so, dn) in enumerate(lanes):
-            blk[i] = (sa, sb, so)
+            blk[i] = (_slot(sa), _slot(sb), _slot(so))
             denom[i] = dn
         blk[B:] = (0, 0, dump)
+        mlane_p = np.zeros(N_members, np.int32)
+        mside_p = np.full(N_members, 2, np.int32)
+        mlane_p[:N], mside_p[:N] = mlane, mside
         S = jnp.zeros((Bp, P, P), jnp.float32)
         S = _scatter_entry_chunks(
             S, POS2COL, Cv_d, Ci_d, pa, pb, entries, EC
         )
         POS2COL, LN, ops_rev, n_new = _lib_dp_merge(
             POS2COL, LN, S, jnp.asarray(blk), jnp.asarray(denom),
-            jnp.asarray(mlane), jnp.asarray(mside), go, ge,
+            jnp.asarray(mlane_p), jnp.asarray(mside_p), go, ge,
         )
         ops_out.append(ops_rev)                 # device refs — no sync
         len_out.append(n_new)

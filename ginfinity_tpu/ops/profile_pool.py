@@ -205,8 +205,20 @@ def run_progressive_pool(levels, leaf_mu, leaf_base, leaf_stem, leaf_len,
 
     Returns (ops_per_level, lengths_per_level) as host arrays, or None
     on overflow (some merged profile outgrew P) — caller falls back."""
+    from ginfinity_tpu.ops.library_pool import _member_capacity
+
     N, d = leaf_mu.shape[0], leaf_mu.shape[2]
-    M = N + sum(len(ia) for ia, _, _ in levels) + 1
+    # member dim padded to a power-of-two bucket and internal slots
+    # shifted to [Npad, 2*Npad-2]: program shapes then depend only on
+    # (Npad, P, d), so families of different sizes share cached
+    # executables (see library_pool._member_capacity)
+    Npad = _member_capacity(N)
+    shift = Npad - N
+    M = 2 * Npad
+    levels = [
+        tuple(np.where(a >= N, a + shift, a).astype(np.int64) for a in lv)
+        for lv in levels
+    ]
     has_base = leaf_base is not None
 
     MU = jnp.concatenate(
@@ -355,7 +367,10 @@ def prewarm_pool_programs(n_leaves: int, P: int, d: int, base_dim: int,
     host link."""
     import threading
 
-    M = 2 * max(1, n_leaves)
+    from ginfinity_tpu.ops.library_pool import _member_capacity
+
+    # the same member bucket run_progressive_pool pads to
+    M = 2 * _member_capacity(max(1, n_leaves))
     has_base = base_dim > 0
     db = base_dim if has_base else 1
 
