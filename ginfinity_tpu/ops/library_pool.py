@@ -85,6 +85,22 @@ def _slab_capacity(t: int) -> int:
     return _pow2_batch(max(64, t))
 
 
+def _ladder_capacity(n: int, min_cap: int = 64) -> int:
+    """Quarter-step geometric bucket (pow2 x {1, 1.25, 1.5, 1.75}):
+    bounded shape count like pow2, but <= 1/8 wasted rows — used where
+    padded rows cost real compute (the consistency round's pair axis),
+    not just memory."""
+    n = max(min_cap, n)
+    p = min_cap
+    while p * 2 < n:
+        p *= 2
+    for frac in (4, 5, 6, 7, 8):
+        cap = p * frac // 4
+        if n <= cap:
+            return cap
+    return p * 2
+
+
 def _entry_chunk_width(n_pairs: int) -> int:
     """The _lib_accum chunk width for a library of ``n_pairs`` — a pure
     function of the library size so every call site (level schedule,

@@ -374,9 +374,11 @@ def _pack_sparse_posteriors(post: dict, N: int, Lmax: int, k: int,
     and it halves slab memory, transfers, and re-sparsify work.
 
     Returns (pairs, Cv [P, Lmax, k] f32, Ci [P, Lmax, k] i32, M)."""
-    Np = -(-N // TC) * TC
+    from ginfinity_tpu.ops.library_pool import _member_capacity, _slab_capacity
+
+    Np = _member_capacity(N)
     pairs = sorted(post.keys())
-    P_pad = -(-max(len(pairs), 1) // TP) * TP
+    P_pad = _slab_capacity(max(len(pairs), 1))
     Cv = np.zeros((P_pad, Lmax, k), np.float32)
     Ci = np.zeros((P_pad, Lmax, k), np.int32)
     M = np.zeros((Np, Np), np.int32)
@@ -399,28 +401,36 @@ def _make_consistency_round(Lmax: int, k: int, TC: int, TP: int, mesh,
     posterior block — ``make_dense(Cv, Ci) -> (dense1, denseV)``
     returning the scalar-slot and [TC]-vector-slot forms).
 
-    With ``mesh``, the pair block axis (pa/pb/pvalid and the output
-    slabs) shards over the mesh's 'data' axis while the full slab
-    arrays + slot map replicate — every pair's update reads arbitrary
-    other pairs' slabs, so the read side stays replicated and only the
-    embarrassingly-parallel write side shards (no collectives)."""
+    The intermediate axis is TRIPLE-COMPACTED on the host: each pair
+    row carries only the signed slots of its PRESENT intermediates
+    (``sacs``/``scbs`` [n_pairs, Cmax], zero-padded) instead of the
+    device scanning every C against an [N, N] slot map.  Device work is
+    therefore proportional to the true (a, C, b) triple count — for
+    kNN-capped libraries most C are absent for any given pair — and no
+    slot map enters the program (shapes depend only on the pair-axis
+    bucket and Cmax, both padded to capacity ladders).
+
+    With ``mesh``, the pair block axis (descriptors and the output
+    slabs) shards over the mesh's 'data' axis while the slab arrays
+    replicate — every pair's update reads arbitrary other pairs' slabs,
+    so the read side stays replicated and only the embarrassingly-
+    parallel write side shards (no collectives)."""
     import jax
     import jax.numpy as jnp
 
     f32 = jnp.float32
 
-    def round_fn(Cv, Ci, M, pa, pb, pvalid, lam, pmin):
-        Np = M.shape[0]
-        c0s = jnp.arange(0, Np, TC)
+    def round_fn(Cv, Ci, sab, sacs, scbs, pvalid, lam, pmin):
+        Cmax = sacs.shape[1]
+        nC = Cmax // TC
         dense1, denseV = make_dense(Cv, Ci)
 
-        def one_pair(a, b, valid):
-            Pab = dense1(M[a, b])
+        def one_pair(slot_ab, sac_row, scb_row, valid):
+            Pab = dense1(slot_ab)
 
-            def cstep(carry, c0):
+            def cstep(carry, xs):
                 acc, cnt = carry
-                cs = c0 + jnp.arange(TC)
-                sac, scb = M[a, cs], M[cs, b]
+                sac, scb = xs  # [TC] signed slots, 0 = padding
                 m = ((sac != 0) & (scb != 0)).astype(f32)
                 A = denseV(sac) * m[:, None, None]
                 B = denseV(scb)
@@ -432,7 +442,9 @@ def _make_consistency_round(Lmax: int, k: int, TC: int, TP: int, mesh,
                 return (acc, cnt + m.sum()), None
 
             (acc, cnt), _ = jax.lax.scan(
-                cstep, (jnp.zeros((Lmax, Lmax), f32), jnp.float32(0.0)), c0s
+                cstep,
+                (jnp.zeros((Lmax, Lmax), f32), jnp.float32(0.0)),
+                (sac_row.reshape(nC, TC), scb_row.reshape(nC, TC)),
             )
             newP = (1.0 - lam) * Pab + lam * acc / jnp.maximum(cnt, 1.0)
             row_kth = jax.lax.top_k(newP, k)[0][:, -1:]
@@ -445,17 +457,18 @@ def _make_consistency_round(Lmax: int, k: int, TC: int, TP: int, mesh,
         one_pair_v = jax.vmap(one_pair)
 
         def tile_compute(args):
-            ta, tb, tv = args  # [TP] each
-            return one_pair_v(ta, tb, tv)
+            tab, tac, tcb, tv = args  # [TP], [TP, Cmax] x2, [TP]
+            return one_pair_v(tab, tac, tcb, tv)
 
         # lax.map over the (shardable) pair-tile axis: stacked outputs,
         # no multi-GB carry to copy per step; mapping the reshaped
         # descriptor arrays directly (rather than an arange + gather)
         # lets SPMD partition the loop across the mesh
-        n_pairs = pa.shape[0]
+        n_pairs = sab.shape[0]
         vab, iab = jax.lax.map(
             tile_compute,
-            (pa.reshape(-1, TP), pb.reshape(-1, TP), pvalid.reshape(-1, TP)),
+            (sab.reshape(-1, TP), sacs.reshape(-1, TP, Cmax),
+             scbs.reshape(-1, TP, Cmax), pvalid.reshape(-1, TP)),
         )
         # padding pairs (valid = 0) produce all-zero slots — harmless
         return (
@@ -471,7 +484,7 @@ def _make_consistency_round(Lmax: int, k: int, TC: int, TP: int, mesh,
     rows = NamedSharding(mesh, P("data"))
     return jax.jit(
         round_fn,
-        in_shardings=(repl, repl, repl, rows, rows, rows, repl, repl),
+        in_shardings=(repl, repl, rows, rows, rows, rows, repl, repl),
         out_shardings=(rows, rows),
     )
 
@@ -568,26 +581,43 @@ def _consistency_rounds_on_slabs(Cv_d, Ci_d, pairs, N, rounds, lam, pmin,
     """Core round loop over device-resident forward slabs [P_pad, Lmax, k]."""
     import jax.numpy as jnp
 
+    from ginfinity_tpu.ops.pairhmm import _pow2_batch
+
     TC, TP = _TILE_TC, _TILE_TP
-    Np = -(-N // TC) * TC
     n_pairs = Cv_d.shape[0]
     # mesh mode: every block's pair axis must divide by TP * mesh size
     tile_mult = TP * (mesh.devices.size if mesh is not None else 1)
-    M = np.zeros((Np, Np), np.int32)
-    pa = np.zeros(n_pairs, np.int32)
-    pb = np.zeros(n_pairs, np.int32)
+    T_real = len(pairs)
+    # host-only signed slot map (never uploaded): M[a, b] = t+1 and
+    # M[b, a] = -(t+1) for pairs[t] = (a, b); the zero diagonal also
+    # excludes C in {a, b}
+    M = np.zeros((N, N), np.int32)
+    pa = np.zeros(T_real, np.int32)
+    pb = np.zeros(T_real, np.int32)
     pvalid = np.zeros(n_pairs, np.float32)
     for t, (a, b) in enumerate(pairs):
         M[a, b] = t + 1
         M[b, a] = -(t + 1)
         pa[t], pb[t], pvalid[t] = a, b, 1.0
+    # triple compaction: each pair row carries only its PRESENT
+    # intermediates' signed slots, padded to a pow2 Cmax bucket
+    present = M != 0
+    validC = present[pa] & present[:, pb].T if T_real else np.zeros((0, N), bool)
+    Cmax = _pow2_batch(max(TC, int(validC.sum(1).max()) if T_real else TC))
+    sab = np.zeros(n_pairs, np.int32)
+    sab[:T_real] = np.arange(1, T_real + 1)
+    sacs = np.zeros((n_pairs, Cmax), np.int32)
+    scbs = np.zeros((n_pairs, Cmax), np.int32)
+    for t in range(T_real):
+        cs = np.nonzero(validC[t])[0]
+        sacs[t, : cs.size] = M[pa[t], cs]
+        scbs[t, : cs.size] = M[cs, pb[t]]
     if _memo_consistency_bytes(n_pairs, Lmax) <= _MEMO_BUDGET_BYTES:
         round_fn = _memo_consistency_round_fn(
             Lmax, k, TC, TP, Cv_d.shape[0], mesh=mesh
         )
     else:
         round_fn = _tiled_consistency_round_fn(Lmax, k, TC, TP, mesh=mesh)
-    M_d = jnp.asarray(M)
 
     # Bound the per-call program size: one huge lax.map over thousands of
     # pairs crashes the remote TPU worker; blocks of <= _MAX_PAIRS_PER_CALL
@@ -595,30 +625,29 @@ def _consistency_rounds_on_slabs(Cv_d, Ci_d, pairs, N, rounds, lam, pmin,
     # and equivalent (each round reads only the previous round's slabs).
     block = max(tile_mult, _MAX_PAIRS_PER_CALL // tile_mult * tile_mult)
     if n_pairs <= block:
-        if n_pairs % tile_mult:
-            pad = -(-n_pairs // tile_mult) * tile_mult - n_pairs
-            pa = np.concatenate([pa, np.zeros(pad, np.int32)])
-            pb = np.concatenate([pb, np.zeros(pad, np.int32)])
-            pvalid = np.concatenate([pvalid, np.zeros(pad, np.float32)])
-        blocks = [(pa, pb, pvalid)]
+        blen = -(-n_pairs // tile_mult) * tile_mult
+        starts = [0]
     else:
-        blocks = []
-        for s in range(0, n_pairs, block):
-            ba = np.zeros(block, np.int32)
-            bb = np.zeros(block, np.int32)
-            bv = np.zeros(block, np.float32)
-            e = min(n_pairs, s + block)
-            ba[: e - s], bb[: e - s], bv[: e - s] = pa[s:e], pb[s:e], pvalid[s:e]
-            blocks.append((ba, bb, bv))
-    blocks = [
-        (jnp.asarray(ba), jnp.asarray(bb), jnp.asarray(bv))
-        for ba, bb, bv in blocks
-    ]
+        blen = block
+        starts = list(range(0, n_pairs, block))
+    blocks = []
+    for s in starts:
+        e = min(n_pairs, s + blen)
+        bs_ab = np.zeros(blen, np.int32)
+        bs_ac = np.zeros((blen, Cmax), np.int32)
+        bs_cb = np.zeros((blen, Cmax), np.int32)
+        bv = np.zeros(blen, np.float32)
+        bs_ab[: e - s] = sab[s:e]
+        bs_ac[: e - s] = sacs[s:e]
+        bs_cb[: e - s] = scbs[s:e]
+        bv[: e - s] = pvalid[s:e]
+        blocks.append((jnp.asarray(bs_ab), jnp.asarray(bs_ac),
+                       jnp.asarray(bs_cb), jnp.asarray(bv)))
     lam_d, pmin_d = jnp.float32(lam), jnp.float32(pmin)
     for _ in range(rounds):
         outs = [
-            round_fn(Cv_d, Ci_d, M_d, ba, bb, bv, lam_d, pmin_d)
-            for ba, bb, bv in blocks
+            round_fn(Cv_d, Ci_d, b_ab, b_ac, b_cb, bv, lam_d, pmin_d)
+            for b_ab, b_ac, b_cb, bv in blocks
         ]
         # keep the slab count stable across rounds: mesh padding may
         # make the descriptor arrays (and thus outputs) longer than the
@@ -683,8 +712,12 @@ def consistency_rounds_to_distances_from_slabs(
     if P == 0:
         D0 = np.zeros((N, N), np.float32)
         return (D0, pairs, None, None) if return_slabs else D0
+    from ginfinity_tpu.ops.library_pool import _slab_capacity
+
     TP = _TILE_TP
-    P_pad = -(-P // TP) * TP
+    # pow2 pair bucket: the slab count enters every round program's
+    # shape, and padding-only pair tiles skip as real branches
+    P_pad = _slab_capacity(P)
     kv_parts = [kv[: len(chunk)] for kv, chunk in zip(kv_list, pair_chunks)]
     ki_parts = [ki[: len(chunk)] for ki, chunk in zip(ki_list, pair_chunks)]
     if P_pad > P:
