@@ -244,6 +244,37 @@ def measure_msa_quick(n_seq=16, L=120, dim=16):
     return {"msa_seconds_warm": round(dt, 2), "n_seq": n_seq, "Lmax": L}
 
 
+def measure_msa_scale(n=200, lmax=300):
+    """Driver-visible Rfam-scale MSA wall time: the full CLI on the
+    BASELINE.md 200x300 workload, in-process (the TPU is exclusive —
+    a subprocess would deadlock on the device lock), profile mode for
+    cross-round comparability with the BASELINE.md table."""
+    import contextlib
+    import tempfile
+
+    from bench_msa_scale import build_family_tsv
+    from ginfinity_tpu.pipelines.msa import main as msa_main
+
+    with tempfile.TemporaryDirectory() as td:
+        tsv = os.path.join(td, "family.tsv")
+        build_family_tsv(tsv, n, lmax)
+        prefix = os.path.join(td, "out", "msa")
+        t0 = time.perf_counter()
+        with contextlib.redirect_stdout(sys.stderr):
+            msa_main(["--input", tsv, "--out-prefix", prefix,
+                      "--alpha", "5", "--beta", "0", "--topk", "20",
+                      "--consistency-rounds", "1", "--max-pairs", "2000",
+                      "--dp-score", "profile"])
+        wall = time.perf_counter() - t0
+        with open(prefix + ".diagnostics/run_meta.json") as f:
+            meta = json.load(f)
+    return {
+        "in_process_wall_sec": round(wall, 1),
+        "stage_sec": meta.get("stage_times_sec"),
+        "n": n, "lmax": lmax,
+    }
+
+
 def measure_msa_quality(families=2, n_seqs=5, anc_len=120):
     """MSA output quality vs the reference's own embed_msa.py (run
     pure-Python in a subprocess) on identical node-embedding TSVs for
@@ -388,6 +419,7 @@ def main():
             extra = {}
     for name, fn in (("search", measure_search_quick), ("train", measure_train_step),
                      ("msa", measure_msa_quick),
+                     ("msa_scale", measure_msa_scale),
                      ("msa_quality_vs_reference", measure_msa_quality),
                      ("msa_refinement_quality", measure_msa_refinement),
                      ("trained_model_eval", measure_trained_model_eval)):
