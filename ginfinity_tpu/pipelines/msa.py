@@ -374,11 +374,11 @@ def _pack_sparse_posteriors(post: dict, N: int, Lmax: int, k: int,
     and it halves slab memory, transfers, and re-sparsify work.
 
     Returns (pairs, Cv [P, Lmax, k] f32, Ci [P, Lmax, k] i32, M)."""
-    from ginfinity_tpu.ops.library_pool import _member_capacity, _slab_capacity
+    from ginfinity_tpu.ops.library_pool import _ladder_capacity, _member_capacity
 
     Np = _member_capacity(N)
     pairs = sorted(post.keys())
-    P_pad = _slab_capacity(max(len(pairs), 1))
+    P_pad = _ladder_capacity(max(len(pairs), 1))
     Cv = np.zeros((P_pad, Lmax, k), np.float32)
     Ci = np.zeros((P_pad, Lmax, k), np.int32)
     M = np.zeros((Np, Np), np.int32)
@@ -712,12 +712,15 @@ def consistency_rounds_to_distances_from_slabs(
     if P == 0:
         D0 = np.zeros((N, N), np.float32)
         return (D0, pairs, None, None) if return_slabs else D0
-    from ginfinity_tpu.ops.library_pool import _slab_capacity
+    from ginfinity_tpu.ops.library_pool import _ladder_capacity
 
     TP = _TILE_TP
-    # pow2 pair bucket: the slab count enters every round program's
-    # shape, and padding-only pair tiles skip as real branches
-    P_pad = _slab_capacity(P)
+    # quarter-step pair bucket (not pow2): the slab count enters every
+    # round program's shape AND the memoized round's [2P+1, L, L] block
+    # array — pow2 padding at all-pairs scale (4950 -> 8192) blew the
+    # memo budget and forced the tiled fallback; the ladder caps waste
+    # at 1/8 while still bounding the distinct-shape count
+    P_pad = _ladder_capacity(P)
     kv_parts = [kv[: len(chunk)] for kv, chunk in zip(kv_list, pair_chunks)]
     ki_parts = [ki[: len(chunk)] for ki, chunk in zip(ki_list, pair_chunks)]
     if P_pad > P:
