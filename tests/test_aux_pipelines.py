@@ -213,3 +213,26 @@ class TestBaseEmbed:
         df2 = pd.read_csv(out2, sep="\t")
         solo = np.array(json.loads(df2.iloc[0]["base_embeddings"]))
         np.testing.assert_allclose(mats[1], solo, atol=1e-5)
+
+
+class TestPrewarmMsa:
+    def test_msa_bucket_prewarm_runs_both_modes(self, tmp_path, capsys):
+        """--msa runs the real pipeline on a synthetic family at the
+        requested scale for both dp-score modes (programs land in the
+        in-process jit cache / persistent XLA cache)."""
+        from ginfinity_tpu.pipelines.prewarm import main
+
+        main(["--msa", "5", "36", "--msa-dim", "6",
+              "--msa-max-pairs", "10", "--msa-topk", "4"])
+        out = capsys.readouterr().out
+        assert "dp-score=profile" in out
+        assert "dp-score=library" in out
+        assert "Prewarmed the MSA program set" in out
+
+    def test_window_mode_still_validates_required_flags(self):
+        from ginfinity_tpu.pipelines.prewarm import main
+
+        import pytest
+
+        with pytest.raises(SystemExit, match="Window mode needs"):
+            main(["--window-size", "80"])
