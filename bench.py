@@ -68,6 +68,36 @@ def measure_tpu(structures):
     return n / best
 
 
+def measure_f16_wire(structures):
+    """Secondary metric: the fused window path with the opt-in f16 D2H
+    wire (--wire f16; same f32-HIGHEST compute, half the download bytes
+    on the link-bound transport).  The headline metric stays f32-wire
+    for cross-round comparability; this records what f16 buys plus the
+    measured rounding bound vs the exact download (IEEE half: 2^-11)."""
+    from ginfinity_tpu.models.checkpoint import import_torch_checkpoint
+    from ginfinity_tpu.models.gine import GINModel
+    from ginfinity_tpu.pipelines.fast_windows import embed_corpus_windows
+
+    cfg, params, state, _ = import_torch_checkpoint(CKPT)
+    model = GINModel(cfg, params, state)
+    exact = embed_corpus_windows(model, structures, WINDOW, True)
+    n = sum(len(s) for s, _ in exact)
+    res = embed_corpus_windows(model, structures, WINDOW, True, wire="f16")
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = embed_corpus_windows(model, structures, WINDOW, True, wire="f16")
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    err = 0.0
+    for (_, a), (_, b) in zip(exact, res):
+        if a.size:
+            err = max(err, float(np.max(
+                np.abs(a - b) / np.maximum(np.abs(a), 6.2e-5))))
+    return {"embeddings_per_sec_f16_wire": round(n / best, 1),
+            "max_rel_err_vs_f32_wire": round(err, 7)}
+
+
 def measure_torch_cpu_baseline(graphs, feature_dim, max_graphs=2000):
     """Reference-equivalent CPU path (torch, float32, batch 32)."""
     import torch
@@ -418,6 +448,7 @@ def main():
         except Exception:
             extra = {}
     for name, fn in (("search", measure_search_quick), ("train", measure_train_step),
+                     ("windows_f16_wire", lambda: measure_f16_wire(structures)),
                      ("msa", measure_msa_quick),
                      ("msa_scale", measure_msa_scale),
                      ("msa_quality_vs_reference", measure_msa_quality),

@@ -126,6 +126,7 @@ def generate_window_embeddings(
     max_programs: int | None = None,
     mesh=None,
     bf16_check: int = 0,
+    wire: str | None = None,
 ):
     """Fused sliding-window embedding (--window-size): every window of
     every structure is generated AND embedded on device in one pass —
@@ -165,7 +166,7 @@ def generate_window_embeddings(
         ids.append(rid)
     results = embed_corpus_windows(
         model, structures, window_size, keep_paired_neighbors, mask_threshold,
-        max_programs=max_programs, mesh=mesh,
+        max_programs=max_programs, mesh=mesh, wire=wire,
     )
     if precision != "highest" and bf16_check > 0:
         _report_bf16_tail(
@@ -370,6 +371,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "retrieval-identical to the reference; bf16 is "
                              "the ~2x-throughput speed mode (see BASELINE.md "
                              "for measured recall impact).")
+    parser.add_argument("--wire", choices=["f32", "f16"], default="f32",
+                        help="With --window-size: D2H encoding for the "
+                             "embedding download. f32 (default) is exact; "
+                             "f16 halves the bytes over a link-bound "
+                             "transport at <=4.9e-4 relative rounding "
+                             "(compute stays at --precision; only the "
+                             "wire format changes).")
     parser.add_argument("--bf16-check", type=int, default=0, metavar="N",
                         help="With --precision bf16 and --window-size: "
                              "re-embed ~N sampled windows at f32 and log "
@@ -450,6 +458,7 @@ def _main_inner(args):
             max_programs=args.max_programs,
             mesh=mesh,
             bf16_check=args.bf16_check,
+            wire=None if args.wire == "f32" else args.wire,
         )
         return
     generate_embeddings(

@@ -168,6 +168,22 @@ class TestFastWindows:
         assert starts.size == 63 and emb.shape == (63, 128)
         assert np.isfinite(emb).all()
 
+    def test_f16_wire_matches_f32_within_rounding(self, model):
+        """wire="f16" only changes the D2H encoding: results must be
+        float32 on the host and within IEEE-half rounding (2^-11
+        relative) of the exact download, window-for-window."""
+        from ginfinity_tpu.pipelines.fast_windows import embed_corpus_windows
+
+        df = pd.read_csv(SAMPLE)
+        corpus = [str(df["secondary_structure"].iloc[i]) for i in range(3)]
+        exact = embed_corpus_windows(model, corpus, 100, True, 0.1)
+        f16 = embed_corpus_windows(model, corpus, 100, True, 0.1, wire="f16")
+        for (st_a, emb_a), (st_b, emb_b) in zip(exact, f16):
+            np.testing.assert_array_equal(st_a, st_b)
+            assert emb_b.dtype == np.float32
+            scale = np.maximum(np.abs(emb_a), 6.2e-5)  # f16 subnormal floor
+            assert np.max(np.abs(emb_a - emb_b) / scale) <= 2.0 ** -11 + 1e-7
+
     def test_corpus_matches_per_structure(self, model):
         """The stacked group dispatch must equal the per-structure path
         on a mixed-length corpus (different buckets, a too-short one,
