@@ -277,32 +277,41 @@ def measure_msa_quick(n_seq=16, L=120, dim=16):
 def measure_msa_scale(n=200, lmax=300):
     """Driver-visible Rfam-scale MSA wall time: the full CLI on the
     BASELINE.md 200x300 workload, in-process (the TPU is exclusive —
-    a subprocess would deadlock on the device lock), profile mode for
-    cross-round comparability with the BASELINE.md table."""
+    a subprocess would deadlock on the device lock).  Measures BOTH
+    progressive-scoring modes: library (the SHIPPED ginfinity-embed-msa
+    default — the benched path is the default path) and profile (the
+    reference-parity mode, kept for cross-round comparability with the
+    BASELINE.md history)."""
     import contextlib
     import tempfile
 
     from bench_msa_scale import build_family_tsv
     from ginfinity_tpu.pipelines.msa import main as msa_main
 
+    out = {"n": n, "lmax": lmax}
     with tempfile.TemporaryDirectory() as td:
         tsv = os.path.join(td, "family.tsv")
         build_family_tsv(tsv, n, lmax)
-        prefix = os.path.join(td, "out", "msa")
-        t0 = time.perf_counter()
-        with contextlib.redirect_stdout(sys.stderr):
-            msa_main(["--input", tsv, "--out-prefix", prefix,
-                      "--alpha", "5", "--beta", "0", "--topk", "20",
-                      "--consistency-rounds", "1", "--max-pairs", "2000",
-                      "--dp-score", "profile"])
-        wall = time.perf_counter() - t0
-        with open(prefix + ".diagnostics/run_meta.json") as f:
-            meta = json.load(f)
-    return {
-        "in_process_wall_sec": round(wall, 1),
-        "stage_sec": meta.get("stage_times_sec"),
-        "n": n, "lmax": lmax,
-    }
+        for mode in ("library", "profile"):
+            prefix = os.path.join(td, f"out_{mode}", "msa")
+            t0 = time.perf_counter()
+            with contextlib.redirect_stdout(sys.stderr):
+                msa_main(["--input", tsv, "--out-prefix", prefix,
+                          "--alpha", "5", "--beta", "0", "--topk", "20",
+                          "--consistency-rounds", "1", "--max-pairs", "2000",
+                          "--dp-score", mode])
+            wall = time.perf_counter() - t0
+            with open(prefix + ".diagnostics/run_meta.json") as f:
+                meta = json.load(f)
+            key = "default_library" if mode == "library" else "profile"
+            out[key] = {
+                "in_process_wall_sec": round(wall, 1),
+                "stage_sec": meta.get("stage_times_sec"),
+            }
+        # history compatibility: the pre-r5 flat keys tracked profile mode
+        out["in_process_wall_sec"] = out["profile"]["in_process_wall_sec"]
+        out["stage_sec"] = out["profile"]["stage_sec"]
+    return out
 
 
 def measure_msa_quality(families=2, n_seqs=5, anc_len=120):
@@ -333,6 +342,42 @@ def measure_msa_quality(families=2, n_seqs=5, anc_len=120):
                 agg.setdefault(k + "_wall_sec", []).append(res[k]["wall_sec"])
     out = {k: round(float(np.mean(v)), 4) for k, v in agg.items()}
     out.update({"families": families, "n_seqs": n_seqs, "anc_len": anc_len})
+    return out
+
+
+def measure_msa_quality_real(families=2, n_seqs=8, min_len=250):
+    """MSA output quality vs the reference pipeline on families whose
+    ancestors are REAL Rfam structures (the reference's own
+    example_data/sample_dataset.csv, >=250 nt) rather than the synthetic
+    generator — the generator's nested-stem bias cannot leak into these
+    numbers.  Same engines/params protocol as msa_quality_vs_reference."""
+    import contextlib
+    import tempfile
+
+    from ginfinity_tpu.pipelines.msa_eval import (
+        compare_on_family,
+        load_reference_ancestors,
+        make_family_from_ancestor,
+    )
+
+    ancestors = load_reference_ancestors(min_len=min_len, limit=families)
+    agg: dict[str, list] = {}
+    anc_meta = []
+    with tempfile.TemporaryDirectory() as td:
+        for f, (anc_id, struct, seq) in enumerate(ancestors):
+            members = make_family_from_ancestor(
+                9000 + f, struct, seq, n_seqs=n_seqs
+            )
+            anc_meta.append({"id": anc_id, "len": len(struct)})
+            with contextlib.redirect_stdout(sys.stderr):
+                res = compare_on_family(members, CKPT, os.path.join(td, f"f{f}"))
+            for k in ("repo", "repo_library", "repo_library_tuned",
+                      "reference"):
+                agg.setdefault(k + "_sp_f1", []).append(res[k]["sp_f1"])
+                agg.setdefault(k + "_wall_sec", []).append(res[k]["wall_sec"])
+    out = {k: round(float(np.mean(v)), 4) for k, v in agg.items()}
+    out.update({"families": families, "n_seqs": n_seqs,
+                "ancestors": anc_meta})
     return out
 
 
@@ -452,6 +497,7 @@ def main():
                      ("msa", measure_msa_quick),
                      ("msa_scale", measure_msa_scale),
                      ("msa_quality_vs_reference", measure_msa_quality),
+                     ("msa_quality_real_ancestors", measure_msa_quality_real),
                      ("msa_refinement_quality", measure_msa_refinement),
                      ("trained_model_eval", measure_trained_model_eval)):
         try:

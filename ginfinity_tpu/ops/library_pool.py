@@ -362,6 +362,15 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
         import os
         import time
 
+        from ginfinity_tpu.utils.jaxinit import prewarm_gate_wait
+
+        # foreground-priority: when a pipeline holds the gate, its own
+        # compile-heavy leading stage runs uncontended on this 1-CPU
+        # host before any speculative compile starts (BASELINE.md: the
+        # contention cost the library-mode posteriors stage 18.6 s vs
+        # 4.2 s)
+        if not prewarm_gate_wait(stop):
+            return
         t0 = time.perf_counter()
         n_done = 0
         try:

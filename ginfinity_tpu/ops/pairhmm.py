@@ -582,6 +582,11 @@ def prewarm_profile_programs(l_cap: int, b_max: int):
     stop = threading.Event()
 
     def work():
+        from ginfinity_tpu.utils.jaxinit import prewarm_gate_wait
+
+        # foreground-priority gate (see library_pool's twin)
+        if not prewarm_gate_wait(stop):
+            return
         for B in batches:
             if stop.is_set():
                 return

@@ -400,6 +400,11 @@ def prewarm_pool_programs(n_leaves: int, P: int, d: int, base_dim: int,
         import os
         import time
 
+        from ginfinity_tpu.utils.jaxinit import prewarm_gate_wait
+
+        # foreground-priority gate (see library_pool's twin)
+        if not prewarm_gate_wait(stop):
+            return
         t0 = time.perf_counter()
         n_done = 0
         try:

@@ -1953,6 +1953,14 @@ def main(argv=None):
     # executable loads (measured 11 shapes = ~17 s on the 200x300 family)
     lmax_rec = max(r.emb.shape[0] for r in records)
     pairs = pairwise_pairs_to_compute(records, args.max_pairs)
+    # hold background prewarm compiles until the posteriors stage is done:
+    # on this 1-CPU host a speculative compile running concurrently with
+    # the stage's own compiles starved it (library-mode posteriors 18.6 s
+    # vs 4.2 s uncontended — BASELINE.md); released after stage_done(
+    # "posteriors") below, leaving the consistency window for the loads
+    from ginfinity_tpu.utils.jaxinit import hold_prewarm, release_prewarm
+
+    hold_prewarm()
     pool_env = os.environ.get("GINFINITY_MSA_POOL", "1") != "0"
     pool_on = args.dp_score != "library" and pool_env
     if args.dp_score == "library" and pool_env:
@@ -2155,6 +2163,7 @@ def main(argv=None):
             heatmaps.append(((a, b), mp[(a, b)]))
 
     t_stage = stage_done("posteriors", t_stage)
+    release_prewarm()  # compile-heavy foreground lead stage is over
     want_library = args.dp_score == "library"
     library = None
     if N >= 3 and args.consistency_rounds > 0 and pairs:

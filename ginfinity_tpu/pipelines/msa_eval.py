@@ -40,6 +40,7 @@ import time
 import numpy as np
 
 REFERENCE_MSA = "/root/reference/src/ginfinity/scripts/embed_msa.py"
+REFERENCE_DATA = "/root/reference/example_data/sample_dataset.csv"
 
 
 # --------------------------------------------------------------------------
@@ -172,6 +173,52 @@ def make_family(
     return [
         mutate_member(
             rng, anc_struct, anc_seq, f"seq{k + 1}", sub_rate, del_rate, ins_rate
+        )
+        for k in range(n_seqs)
+    ]
+
+
+def load_reference_ancestors(
+    min_len: int = 0,
+    max_len: int = 10**9,
+    limit: int | None = None,
+    csv_path: str = REFERENCE_DATA,
+) -> list[tuple[str, str, str]]:
+    """The reference's only in-repo dataset (example_data/sample_dataset.csv,
+    100 real Rfam RNase-MRP structures, 198-593 nt) as (id, structure,
+    sequence) ancestors for :func:`make_family_from_ancestor` — so quality
+    numbers are grounded in real structures, not only the synthetic
+    generator's distribution (nested stems, no pseudoknot-free bias of its
+    own).  Sorted shortest-first so ``limit`` gives a deterministic,
+    cost-bounded subset (the reference pipeline's pure-Python pair-HMM is
+    O(L^2) per pair)."""
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    rows = [
+        (str(r["rnacentral_id"]), str(r["secondary_structure"]), str(r["sequence"]))
+        for _, r in df.iterrows()
+        if min_len <= len(str(r["secondary_structure"])) <= max_len
+    ]
+    rows.sort(key=lambda t: (len(t[1]), t[0]))
+    return rows[:limit] if limit is not None else rows
+
+
+def make_family_from_ancestor(
+    seed: int,
+    structure: str,
+    sequence: str,
+    n_seqs: int = 6,
+    sub_rate: float = 0.1,
+    del_rate: float = 0.05,
+    ins_rate: float = 0.05,
+) -> list[FamilyMember]:
+    """Known-homology family whose ancestor is a REAL structure (e.g. one
+    of :func:`load_reference_ancestors`) instead of a generator draw."""
+    rng = np.random.default_rng(seed)
+    return [
+        mutate_member(
+            rng, structure, sequence, f"seq{k + 1}", sub_rate, del_rate, ins_rate
         )
         for k in range(n_seqs)
     ]
@@ -501,17 +548,48 @@ def main(argv=None):
     ap.add_argument("--anc-len", type=int, default=120)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--json-out", default=None)
+    ap.add_argument(
+        "--ancestors", choices=["generator", "reference"], default="generator",
+        help="family ancestors: the synthetic generator (default) or real "
+        "Rfam structures from the reference's example_data",
+    )
+    ap.add_argument("--anc-min-len", type=int, default=0,
+                    help="reference-ancestor length filter (lower bound)")
+    ap.add_argument("--anc-max-len", type=int, default=10**9,
+                    help="reference-ancestor length filter (upper bound)")
+    ap.add_argument("--max-pairs", type=int, default=None,
+                    help="kNN pair cap passed to BOTH engines (required for "
+                    "at-scale runs; the reference caps the same way)")
     args = ap.parse_args(argv)
 
+    params = {"max_pairs": args.max_pairs} if args.max_pairs else {}
+    ancestors = None
+    if args.ancestors == "reference":
+        ancestors = load_reference_ancestors(
+            args.anc_min_len, args.anc_max_len, limit=args.families
+        )
+        if len(ancestors) < args.families:
+            raise SystemExit(
+                f"only {len(ancestors)} reference ancestors in "
+                f"[{args.anc_min_len}, {args.anc_max_len}]"
+            )
     results = []
     for f in range(args.families):
-        members = make_family(
-            args.seed + 1000 * f, n_seqs=args.n_seqs, anc_len=args.anc_len
-        )
+        if ancestors is not None:
+            anc_id, struct, seq = ancestors[f]
+            members = make_family_from_ancestor(
+                args.seed + 1000 * f, struct, seq, n_seqs=args.n_seqs
+            )
+        else:
+            members = make_family(
+                args.seed + 1000 * f, n_seqs=args.n_seqs, anc_len=args.anc_len
+            )
         wd = os.path.join(args.workdir, f"family{f}")
-        res = compare_on_family(members, args.model_path, wd)
+        res = compare_on_family(members, args.model_path, wd, params=params)
+        if ancestors is not None:
+            res["ancestor_id"] = anc_id
         res["posterior_stage"] = posterior_stage_quality(
-            members, args.model_path, wd
+            members, args.model_path, wd, params=params
         )
         results.append(res)
         print(

@@ -106,6 +106,46 @@ def _fix_cache_dir_for_backend() -> None:
 
 _prewarm_threads: list = []
 
+# Foreground-priority gate for background compiles.  This host has ONE
+# CPU: a speculative prewarm compile running concurrently with a
+# foreground stage's own compiles/dispatch starves the foreground
+# (measured: library-mode posteriors 18.6 s vs 4.2 s without the
+# contention — BASELINE.md).  The gate is OPEN by default (standalone
+# callers like ginfinity-prewarm want compiles to start immediately);
+# a pipeline closes it at entry and reopens it once its own
+# compile-heavy leading stage has finished, so prewarm work overlaps
+# the device-bound middle stages instead.
+import threading as _threading  # noqa: E402
+
+_prewarm_gate = _threading.Event()
+_prewarm_gate.set()
+
+
+def hold_prewarm() -> None:
+    """Close the gate: background prewarm threads pause before their
+    next program until :func:`release_prewarm` (or a stop event)."""
+    _prewarm_gate.clear()
+
+
+def release_prewarm() -> None:
+    _prewarm_gate.set()
+
+
+def prewarm_gate_wait(stop_event=None, poll: float = 0.25,
+                      max_wait: float = 900.0) -> bool:
+    """Block until the gate is open.  Returns False if ``stop_event``
+    fired first (the caller should skip its remaining programs).
+    ``max_wait`` bounds the hold in case a pipeline's error path never
+    reopens the gate — after it, proceed rather than hang."""
+    waited = 0.0
+    while not _prewarm_gate.wait(timeout=poll):
+        if stop_event is not None and stop_event.is_set():
+            return False
+        waited += poll
+        if waited >= max_wait:
+            return True
+    return True
+
 
 def register_prewarm_thread(t, stop_event=None) -> None:
     """Track a background compile/prewarm thread so process exit JOINS
