@@ -52,7 +52,16 @@ class TopKSearcher:
     precision : Gram-pass matmul precision for f32 storage
         ('highest' = exact recall; 'bf16' = ~2x throughput).
     storage : HBM residency format of the corpus —
-        'f32'  : full-precision resident corpus (exact scan);
+        'f32'  : full-precision resident corpus.  The default mode
+                 (precision='highest', rescore='device') scans with
+                 exact f32 Gram passes but emits per-tile candidates
+                 via approx_max_k instead of running an exact merge —
+                 exact distances, measured distance-recall 1.0, but
+                 float-tied IDs may swap vs brute force and a true
+                 top-k row ranking at a tile-window boundary can in
+                 principle be dropped (recall_target 0.99/tile).
+                 rescore='host' restores the fully exact running-merge
+                 scan;
         'bf16' : half the HBM (2 bytes/row-dim), candidate scan in bf16;
         'int8' : quarter the HBM (per-row-scale symmetric quantization),
                  candidate scan on the int8 MXU path.
@@ -108,6 +117,24 @@ class TopKSearcher:
         # better q/s (rescore='host' keeps the raw single-pass scan).
         self._bf16_rescore = (
             storage == "f32" and precision == "bf16" and rescore == "device"
+        )
+        # f32 storage + HIGHEST precision + device mode (the DEFAULT):
+        # candidate-emit scan instead of the exact running merge.  The
+        # Gram pass stays f32-HIGHEST, so every emitted candidate score
+        # is already the exact distance — no gather/re-score stage is
+        # needed, just one final top-k over the emitted set.  What makes
+        # it fast is candidate GENERATION: per-tile approx_max_k at the
+        # base k replaces the exact lax.top_k that measured ~94% of scan
+        # time (VERDICT r4; the same design took bf16 storage past plain
+        # f32).  Approximation caveat: approx_max_k may drop a true
+        # top-k row that ranks at the BOUNDARY of its tile's candidate
+        # window; true global top-k rows rank at the very top of their
+        # tile, and measured distance-recall is 1.0 (BENCH_SEARCH.json
+        # f32_fast rows).  Ties within float distance may swap IDs vs
+        # brute force (same caveat as the compressed modes).
+        # rescore='host' selects the old exact running-merge scan.
+        self._f32_fast = (
+            storage == "f32" and precision == "highest" and rescore == "device"
         )
         # Candidate GENERATION for compressed storage + device re-score:
         # exact lax.top_k was ~94% of the scan (measured: 1.03 ms/tile
@@ -313,7 +340,9 @@ class TopKSearcher:
             # all_gather; replication can't be statically inferred
             check_vma=False,
         )
-        if (storage == "f32" and not self._bf16_rescore) or self.rescore == "host":
+        if self.rescore == "host" or (
+            storage == "f32" and not (self._bf16_rescore or self._f32_fast)
+        ):
             return jax.jit(fn)
 
         # Fused scan + local re-score for compressed storage: the scan
@@ -328,6 +357,7 @@ class TopKSearcher:
         # before the usual all_gather merge.  No host corpus, no psum.
         k_tile = min(max(k_base, self.overfetch * k_base // 4), tile)
         cand_recall = self.candidate_recall
+        f32_fast = self._f32_fast
 
         def _tile_cand_topk(scores):
             if cand_recall is not None and k_tile <= 64:
@@ -375,6 +405,14 @@ class TopKSearcher:
                         q_mat, c_t,
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        # f32_fast: the scan IS the exact pass (HIGHEST),
+                        # so the emitted candidate scores need no refine;
+                        # bf16 storage / bf16-rescore keep the fast
+                        # DEFAULT passes and rely on the f32 re-score
+                        precision=(
+                            prec if f32_fast
+                            else jax.lax.Precision.DEFAULT
+                        ),
                     )
                 if metric == "sqeuclidean":
                     scores = 2.0 * scores - s_t[None, :]
@@ -394,6 +432,20 @@ class TopKSearcher:
             _, (cv, ci) = jax.lax.scan(tile_step, 0, xs)
             ci = jnp.transpose(ci, (1, 0, 2)).reshape(q, n_tiles * k_tile)
             cv = jnp.transpose(cv, (1, 0, 2)).reshape(q, n_tiles * k_tile)
+            if f32_fast:
+                # candidate scores are exact already (HIGHEST scan):
+                # merging them IS the exact re-score of the candidate
+                # set — skip the [Q, C, D] row gather entirely
+                local_k = min(k_base, shard_rows)
+                v, sel = jax.lax.top_k(cv, local_k)
+                gids = jnp.take_along_axis(ci, sel, axis=1) + shard_base
+                vs = jax.lax.all_gather(v, "data")
+                gs = jax.lax.all_gather(gids, "data")
+                vs = jnp.transpose(vs, (1, 0, 2)).reshape(q, n_dev * local_k)
+                gs = jnp.transpose(gs, (1, 0, 2)).reshape(q, n_dev * local_k)
+                fv, fi = jax.lax.top_k(vs, k_base)
+                fg = jnp.take_along_axis(gs, fi, axis=1)
+                return fv, fg
             # bound the re-score working set: the [Q, C, D] f32 gather
             # grows with the tile count (24k candidates/query OOMed HBM
             # at 20M rows on one chip) — preselect by quantized score
@@ -457,7 +509,9 @@ class TopKSearcher:
         corpus; ``rescore='host'`` re-scores against the original f32
         rows on the host (exact scores, host corpus retained)."""
         k = min(k, self.n)
-        plain_f32 = self.storage == "f32" and not self._bf16_rescore
+        plain_f32 = self.storage == "f32" and not (
+            self._bf16_rescore or self._f32_fast
+        )
         k_dev = k if plain_f32 else min(self.n, self.overfetch * k)
         if (k_dev, k) not in self._search_fns:
             self._search_fns[(k_dev, k)] = self._build(k_dev, k)
@@ -473,7 +527,7 @@ class TopKSearcher:
         scale = self._scale if self._scale is not None else self._valid
         dev_rescore = (
             self.storage != "f32" and self.rescore == "device"
-        ) or self._bf16_rescore
+        ) or self._bf16_rescore or self._f32_fast
         out_k = k if (self.storage == "f32" or dev_rescore) else k_dev
         nq = queries.shape[0]
         out_v = np.empty((nq, out_k), np.float32)
@@ -498,7 +552,11 @@ class TopKSearcher:
 
         if dev_rescore:
             if self.metric == "sqeuclidean":
-                out_v = -out_v  # refined score was -distance
+                if self._f32_fast:
+                    # emitted score was 2 q.c - ||c||^2 (no refine stage)
+                    out_v = q_sq[:, None] - out_v
+                else:
+                    out_v = -out_v  # refined score was -distance
             return out_v, out_i
         if self.storage != "f32":
             return self._rescore_exact(queries, out_i, k)

@@ -172,6 +172,7 @@ def generate_window_embeddings(
         _report_bf16_tail(
             cfg, params, state, structures, ids, results, window_size,
             keep_paired_neighbors, mask_threshold, bf16_check, log_path, quiet,
+            wire=wire,
         )
     rows = []
     # one O(N) pass for the kept-column lookup — a boolean scan per
@@ -220,12 +221,18 @@ def generate_window_embeddings(
 
 def _report_bf16_tail(cfg, params, state, structures, ids, results,
                       window_size, keep_paired_neighbors, mask_threshold,
-                      n_sample, log_path, quiet):
+                      n_sample, log_path, quiet, wire=None):
     """Measure the bf16 quality tail on THIS corpus (--bf16-check N):
     re-embed a deterministic sample of ~N windows at f32-HIGHEST and
     report per-window cosine agreement, naming the worst windows.
     BASELINE.md's corpus-level numbers (mean 0.9997, min 0.951) say the
-    tail exists; this says whether it hits the user's data."""
+    tail exists; this says whether it hits the user's data.
+
+    With ``wire='f16'`` the delivered ``results`` also carry <=2^-11
+    wire rounding; the sampled structures are re-embedded at the
+    PRODUCTION precision with the exact f32 wire so the reported tail
+    isolates bf16 compute and is not inflated by the wire term
+    (ADVICE r4)."""
     import numpy as np
 
     from ginfinity_tpu.models.gine import GINModel
@@ -243,6 +250,14 @@ def _report_bf16_tail(cfg, params, state, structures, ids, results,
             break
     if not take:
         return
+    if wire == "f16":
+        # clean bf16-compute sample: same model, exact f32 wire
+        prod_model = GINModel(cfg, params, state)
+        prod_res = embed_corpus_windows(
+            prod_model, [structures[i] for i in take], window_size,
+            keep_paired_neighbors, mask_threshold,
+        )
+        results = dict(zip(take, prod_res))
     f32_model = GINModel(cfg.with_precision("highest"), params, state)
     f32_res = embed_corpus_windows(
         f32_model, [structures[i] for i in take], window_size,
@@ -266,6 +281,10 @@ def _report_bf16_tail(cfg, params, state, structures, ids, results,
         "bf16_worst_windows": {names[int(j)]: round(float(cos[j]), 6)
                                for j in worst},
     }
+    if wire == "f16":
+        diag["wire_note"] = ("delivered rows additionally carry --wire f16 "
+                             "rounding (<=2^-11 rel/element), excluded from "
+                             "this comparison")
     log_information(log_path, diag, "bf16_check")
     if not quiet:
         print(f"[bf16-check] {len(cos)} windows re-embedded at f32: "
@@ -400,6 +419,15 @@ def main(argv=None):
 
 def _main_inner(args):
     from ginfinity_tpu.utils.jaxinit import start_backend_warmup
+
+    if args.wire == "f16" and args.window_size is None:
+        # the flag is scoped to the fused window download (see --help);
+        # silently ignoring it on the other paths would hand the user an
+        # unexpected full-size download (ADVICE r4).  Checked BEFORE the
+        # backend warmup thread starts: exiting mid-bring-up aborts the
+        # TPU plugin teardown.
+        sys.exit("ERROR: --wire f16 requires --window-size (it is the D2H "
+                 "encoding of the fused window-embedding download).")
 
     start_backend_warmup()  # overlap backend bring-up with input reading
 

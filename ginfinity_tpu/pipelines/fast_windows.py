@@ -797,6 +797,10 @@ def embed_corpus_windows(model, structures, L, keep_paired_neighbors=True,
     """
     from ginfinity_tpu.utils.jaxinit import join_backend_warmup, start_backend_warmup
 
+    if wire not in (None, "f32", "f16"):
+        # a typo ("F16", "f64") must not silently fall back to the exact
+        # f32 download (ADVICE r4)
+        raise ValueError(f"wire must be None, 'f32' or 'f16', got {wire!r}")
     start_backend_warmup()  # overlap backend bring-up with host prep
     cfg = model.config
     _maybe_canary(cfg, L)

@@ -184,6 +184,14 @@ class TestFastWindows:
             scale = np.maximum(np.abs(emb_a), 6.2e-5)  # f16 subnormal floor
             assert np.max(np.abs(emb_a - emb_b) / scale) <= 2.0 ** -11 + 1e-7
 
+    def test_wire_typo_is_an_error(self, model):
+        """A wire typo ('F16', 'f64') must raise, not silently fall back
+        to the exact f32 download (ADVICE r4)."""
+        from ginfinity_tpu.pipelines.fast_windows import embed_corpus_windows
+
+        with pytest.raises(ValueError, match="wire"):
+            embed_corpus_windows(model, ["((..))"], 4, True, 0.1, wire="F16")
+
     def test_corpus_matches_per_structure(self, model):
         """The stacked group dispatch must equal the per-structure path
         on a mixed-length corpus (different buckets, a too-short one,

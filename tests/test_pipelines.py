@@ -95,6 +95,17 @@ class TestEmbedCLI:
         assert len(res) == 0
         assert list(res.columns[:2]) == ["window_id", "id"]
 
+    def test_wire_f16_requires_window_size(self, tmp_path):
+        """--wire f16 is the D2H encoding of the fused window download;
+        without --window-size it must error, not silently deliver the
+        full-size download (ADVICE r4)."""
+        from ginfinity_tpu.pipelines.embed import main
+
+        with pytest.raises(SystemExit, match="window-size"):
+            main(["--input", "x.csv", "--output", str(tmp_path / "o.tsv"),
+                  "--model-path", CKPT, "--id-column", "id",
+                  "--wire", "f16", "--quiet"])
+
     def test_graph_pt_requires_meta_tsv(self, tmp_path):
         from ginfinity_tpu.pipelines.embed import main
 

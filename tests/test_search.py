@@ -110,6 +110,26 @@ class TestTopKSearcher:
         assert recall_at_k(ie, ti) == 1.0
         assert recall_at_k(ia, ti) == 1.0
 
+    def test_f32_fast_default_vs_host_exact_merge(self, data):
+        """The DEFAULT f32 config (precision='highest', rescore='device')
+        now uses the candidate-emit scan (_f32_fast); rescore='host'
+        keeps the fully-exact running merge.  Both must agree with brute
+        force on recall AND return true squared distances."""
+        corpus, queries = data
+        fast = TopKSearcher(corpus, query_block=64)
+        exact = TopKSearcher(corpus, query_block=64, rescore="host")
+        assert fast._f32_fast and not exact._f32_fast
+        vf, i_f = fast.search(queries, k=10)
+        ve, i_e = exact.search(queries, k=10)
+        _, ti = brute_force_topk(corpus, queries, 10)
+        assert recall_at_k(i_f, ti) == 1.0
+        assert recall_at_k(i_e, ti) == 1.0
+        np.testing.assert_allclose(np.sort(vf, 1), np.sort(ve, 1),
+                                   rtol=1e-4, atol=1e-4)
+        for q in range(3):
+            d = np.sum((corpus[i_f[q]] - queries[q]) ** 2, axis=1)
+            np.testing.assert_allclose(vf[q], d, rtol=1e-3, atol=1e-3)
+
     def test_bf16_precision_f32_storage_rescores_on_device(self, data):
         """precision='bf16' with f32 storage (default rescore='device')
         must emit candidates from the fast bf16 Gram scan and re-score
