@@ -34,14 +34,15 @@ round trips, and only the [levels, 2P] traceback op codes download at
 the end (pipelines/msa.py replays them through ``_merge_from_ops`` for
 the aligned character rows, so the final Profile is host-exact).
 
-Two program shapes per batch width: ``_lib_accum`` (scatter one entry
-chunk into the level's score matrices; chunked so a pair-dense level
-cannot blow VMEM/HBM with a [E, Lmax, k] gather) and ``_lib_dp_merge``
-(DP + traceback + POS2COL remap).  Like the profile pool, lane widths
-are collapsed to {1, Bmax}, and long runs of batch-1 levels (the NJ
-caterpillar tail) collapse further into the scanned ``_lib_tail``
-program — _POOL_SCAN_CHUNK levels per submission instead of two
-submissions per level.
+The whole run dispatches ONE scanned program (``_lib_tail_wide``):
+levels split into fixed-width lane groups of ``_LIB_BW``, each scan
+step scatters one EC-wide entry chunk (chunked so a pair-dense level
+cannot blow VMEM/HBM with a [E, Lmax, k] gather) and, on merge steps,
+runs the DP + traceback + POS2COL remap for its lane block.
+_POOL_SCAN_CHUNK steps ride per submission.  One program = one
+persistent-cache load per fresh process (~12 MB executables cost
+3.5-6 s EACH to load over the axon transport — the round-4 design's
+{1, Bmax} width pair plus a separate batch-1 scan was five loads).
 
 Precision note (same as ops/profile_pool.py): the host scorer
 accumulates in float64 (np.bincount) while the device scatter-adds in
@@ -61,7 +62,7 @@ import jax
 import jax.numpy as jnp
 
 from ginfinity_tpu.ops.pairhmm import _pow2_batch, _profile_ops_impl
-from ginfinity_tpu.ops.profile_pool import _POOL_SCAN_CHUNK, _POOL_SCAN_MIN
+from ginfinity_tpu.ops.profile_pool import _POOL_SCAN_CHUNK
 
 # entries per accumulation chunk: bounds the [EC, Lmax, k] gather
 # temporaries (~EC*Lmax*k*4 bytes each) regardless of how many library
@@ -107,6 +108,17 @@ def _entry_chunk_width(n_pairs: int) -> int:
     refinement, overflow fallback) dispatches the SAME program shape
     and the prewarm can predict it."""
     return _pow2_batch(min(_ENTRY_CHUNK, max(1, n_pairs)))
+
+
+def _scan_entry_width(n_pairs: int) -> int:
+    """Per-step entry capacity of the unified progressive scan.  Most
+    levels carry few spanning pairs (the 200x300 workload averages ~23
+    per step), so a narrow fixed width with accumulate-only overflow
+    steps does ~8x less padded scatter work per step than the standalone
+    accumulation chunk would — the scatter was the scan's dominant
+    device cost at _ENTRY_CHUNK width (measured ~8 s of the stage;
+    each step scattered EC*Ls*K = 3.3M mostly-zero elements)."""
+    return min(_entry_chunk_width(n_pairs), 64)
 
 
 def _lib_accum_impl(S, POS2COL, Cv, Ci, pair_a, pair_b, lane, t, flip, w):
@@ -188,44 +200,56 @@ def _lib_dp_merge_impl(POS2COL, LN, S, blk, denom, mlane, mside, go, ge):
     return POS2COL, LN, ops_rev, n_new
 
 
-_lib_dp_merge = partial(jax.jit, donate_argnums=(0, 1))(_lib_dp_merge_impl)
+# Lanes per scan step of the unified tail program.  The whole
+# progressive run rides ONE scanned program: wide levels split into
+# ceil(width / _LIB_BW) steps, batch-1 levels pad idle lanes (a B=8 DP
+# wavefront measures ~1.4-1.6x a B=1 one — idle lanes are nearly free),
+# and levels with more spanning pairs than one entry chunk insert
+# accumulate-only steps (merges=0) before their merge step.  Round-5
+# motivation: each distinct program costs seconds to LOAD from the
+# persistent cache over the axon transport (3.5-6 s measured for the
+# 12-16 MB pool executables — the load, not the compile, dominated a
+# warm-cache fresh process), so the {1, Bmax} width pair + separate
+# accumulate/merge/tail programs (5 loads) became one fixed-shape
+# program (1 load), family-size-independent via the capacity buckets.
+_LIB_BW = 8
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
-def _lib_tail(POS2COL, LN, Cv, Ci, pa, pb, blks, denoms, mlanes, msides,
-              tids, flips, ws, go, ge):
-    """Run a fixed-width chunk of consecutive batch-1 tree levels as ONE
-    device program (the library-mode analogue of
-    profile_pool._pool_tail): ``lax.scan`` over stacked per-level
-    inputs, each step one entry-chunk scatter + one batch-1 DP/merge.
-    Levels are sequentially dependent through POS2COL/LN, which is what
-    the scan expresses — an NJ caterpillar tail becomes a handful of
-    submissions instead of two per level (accumulate + merge).
+def _lib_tail_wide(POS2COL, LN, Cv, Ci, pa, pb, blks, denoms, mlanes,
+                   msides, lanes_e, tids, flips, ws, merges, go, ge):
+    """One fixed-shape chunk of the unified progressive scan.
 
-    Only levels whose entry list fits ONE accumulation chunk ride this
-    program (run_library_pool's planner guarantees it); chunk-padding
-    no-op levels use blk (0, 0, dump) / mside 2 (every member idle, so
-    POS2COL passes through) / w 0 (the scatter adds zeros).
+    Per step ``t``: scatter entry chunk ``(lanes_e, tids, flips, ws)[t]``
+    into the carried [_LIB_BW, P, P] accumulator, then (when
+    ``merges[t] > 0``) run the DP/merge for the step's lane block and
+    reset the accumulator; accumulate-only steps (``merges[t] == 0``)
+    carry S forward and their DP outputs are masked out.  No-op padding
+    steps are merge steps with every lane at (0, 0, dump), every member
+    idle, and zero entry weights.
 
-    Returns the updated maps plus per-level reverse-order op codes
-    [_POOL_SCAN_CHUNK, 2P] and merged lengths [_POOL_SCAN_CHUNK]."""
-    P = POS2COL.shape[1]
-    zero_lane = jnp.zeros((tids.shape[1],), jnp.int32)
+    Returns the updated maps plus per-step reverse-order op codes
+    [TC, _LIB_BW, 2P] and merged lengths [TC, _LIB_BW]."""
 
     def body(carry, xs):
-        POS2COL, LN = carry
-        blk, denom, mlane, mside, tid, flip, w = xs
-        S = jnp.zeros((1, P, P), jnp.float32)
-        S = _lib_accum_impl(
-            S, POS2COL, Cv, Ci, pa, pb, zero_lane, tid, flip, w
+        POS2COL, LN, S = carry
+        blk, denom, mlane, mside, lane_e, tid, flip, w, mf = xs
+        S = _lib_accum_impl(S, POS2COL, Cv, Ci, pa, pb, lane_e, tid, flip, w)
+        P2, LN2, ops_rev, n_new = _lib_dp_merge_impl(
+            POS2COL, LN, S, blk, denom, mlane, mside, go, ge
         )
-        POS2COL, LN, ops_rev, n_new = _lib_dp_merge_impl(
-            POS2COL, LN, S, blk[None, :], denom[None], mlane, mside, go, ge
-        )
-        return (POS2COL, LN), (ops_rev[0], n_new[0])
+        keep = mf > 0
+        POS2COL = jnp.where(keep, P2, POS2COL)
+        LN = jnp.where(keep, LN2, LN)
+        S = jnp.where(keep, jnp.zeros_like(S), S)
+        return (POS2COL, LN, S), (ops_rev, n_new)
 
-    (POS2COL, LN), (ops, ns) = jax.lax.scan(
-        body, (POS2COL, LN), (blks, denoms, mlanes, msides, tids, flips, ws)
+    BW = blks.shape[1]
+    P = POS2COL.shape[1]
+    S0 = jnp.zeros((BW, P, P), jnp.float32)
+    (POS2COL, LN, _), (ops, ns) = jax.lax.scan(
+        body, (POS2COL, LN, S0),
+        (blks, denoms, mlanes, msides, lanes_e, tids, flips, ws, merges),
     )
     return POS2COL, LN, ops, ns
 
@@ -306,17 +330,20 @@ def _scatter_entry_chunks(S, POS2COL, Cv_d, Ci_d, pa, pb, entries, EC):
 
 
 def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
-                             K: int, b_max: int, refine_len: int = 0):
-    """Compile/load the library-pool program set in the background (the
-    same motivation as profile_pool.prewarm_pool_programs: one program
-    per distinct shape, ~1.5 s executable load each in a fresh
-    process).  All shapes are pure functions of
-    (n_seq, P, n_pairs, Ls, K) plus the batch-width guess ladder, so
-    the loads overlap the posterior/consistency stages instead of
-    stalling the progressive stage.  ``refine_len > 0`` additionally
-    warms the single-lane accumulate + fused-DP programs iterative
-    refinement dispatches (PosteriorLibrary.merge_ops at the refine
-    column-count headroom).  All inputs are created on device —
+                             K: int, b_max: int = 0, refine_len: int = 0):
+    """Compile/load the library-pool program set in the background.
+
+    Since the unified ``_lib_tail_wide`` redesign the whole progressive
+    run dispatches ONE program whose shape is a pure function of
+    (member bucket, slab bucket, P, Ls, K) — so the prewarm is one
+    compile/load that overlaps the posterior/consistency stages instead
+    of stalling the progressive stage (a warm-cache LOAD of the ~12 MB
+    executable costs ~3.5-6 s over the axon transport; a cold compile
+    ~38 s on this 1-CPU host).  ``b_max`` is retained for call-site
+    compatibility; there is no width ladder anymore.  ``refine_len > 0``
+    additionally warms the single-lane accumulate + fused-DP programs
+    iterative refinement dispatches (PosteriorLibrary.merge_ops at the
+    refine column-count headroom).  All inputs are created on device —
     nothing crosses the host link.
 
     Deliberately NOT warmed: the pool-overflow fallback's grown-length
@@ -331,32 +358,11 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
     # (member, pair) counts land in the same buckets
     Npad = _member_capacity(n_seq)
     T = _slab_capacity(max(1, n_pairs))
-    EC = _entry_chunk_width(T)
+    EC = _scan_entry_width(T)
+    ECr = _entry_chunk_width(T)  # refinement accum keeps the wide chunk
     M = 2 * Npad
     n_seq = Npad
-    # Core widths the run WILL dispatch: the widest-level guess (the
-    # widest NJ level is usually the first, ~n/12 cherries) and batch 1
-    # (caterpillar tail).  The remaining ladder widths only hedge a
-    # wrong guess — worth warming when the persistent cache is hot
-    # (~1.5 s executable load each) but NOT worth compiling cold: a
-    # fresh P=384-class _lib_dp_merge compile costs seconds-to-tens of
-    # seconds of this host's single CPU, stolen from the foreground
-    # stages, for a program the run most likely never uses.
-    n = max(1, b_max * 2)
-    core = []
-    for guess in (-(-n // 8), 1):
-        g = _pow2_batch(max(1, guess))
-        if g not in core:
-            core.append(g)
-    extras = []
-    for guess in (4, 2, -(-n // 4), -(-n // 2)):
-        g = _pow2_batch(max(1, guess))
-        if g not in core and g not in extras:
-            extras.append(g)
     stop = threading.Event()
-    # cold-host detector: if any CORE program took this long it was a
-    # real compile, not a cache load — skip the speculative widths
-    _COLD_SECS = 6.0
 
     def work():
         import os
@@ -378,49 +384,24 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
             Ci = jnp.zeros((T, Ls, K), jnp.int32)
             pa = jnp.zeros((T,), jnp.int32)
             pb = jnp.zeros((T,), jnp.int32)
-            lane = jnp.zeros((EC,), jnp.int32)
-            w = jnp.zeros((EC,), jnp.float32)
             go = jnp.float32(0.0)
-            cold = False
-
-            def warm_width(B):
-                S = jnp.zeros((B, P, P), jnp.float32)
-                POS = jnp.zeros((n_seq, P), jnp.int32)
-                S = _lib_accum(S, POS, Cv, Ci, pa, pb, lane, lane, lane, w)
-                _lib_dp_merge(
-                    POS, jnp.ones((M,), jnp.int32), S,
-                    jnp.zeros((B, 3), jnp.int32), jnp.ones((B,), jnp.float32),
-                    jnp.zeros((n_seq,), jnp.int32),
-                    jnp.full((n_seq,), 2, jnp.int32), go, go,
-                )[2].block_until_ready()
-
-            for B in core:
-                if stop.is_set():
-                    return
-                ts = time.perf_counter()
-                warm_width(B)
-                cold |= (time.perf_counter() - ts) > _COLD_SECS
-                n_done += 1
-            # the caterpillar-tail scan program — guaranteed to fire on
-            # any non-trivial NJ tree, and the most expensive compile
-            # (~38 s measured cold), so it comes right after the core
-            # widths: even if the process exits first, the exit join
-            # lets it finish and commit to the persistent cache
+            TC = _POOL_SCAN_CHUNK
+            BW = _LIB_BW
             if stop.is_set():
                 return
-            TC = _POOL_SCAN_CHUNK
-            ts = time.perf_counter()
-            _lib_tail(
+            _lib_tail_wide(
                 jnp.zeros((n_seq, P), jnp.int32), jnp.ones((M,), jnp.int32),
                 Cv, Ci, pa, pb,
-                jnp.zeros((TC, 3), jnp.int32), jnp.ones((TC,), jnp.float32),
+                jnp.zeros((TC, BW, 3), jnp.int32),
+                jnp.ones((TC, BW), jnp.float32),
                 jnp.zeros((TC, n_seq), jnp.int32),
                 jnp.full((TC, n_seq), 2, jnp.int32),
                 jnp.zeros((TC, EC), jnp.int32),
                 jnp.zeros((TC, EC), jnp.int32),
-                jnp.zeros((TC, EC), jnp.float32), go, go,
+                jnp.zeros((TC, EC), jnp.int32),
+                jnp.zeros((TC, EC), jnp.float32),
+                jnp.ones((TC,), jnp.float32), go, go,
             )[2].block_until_ready()
-            cold |= (time.perf_counter() - ts) > _COLD_SECS
             n_done += 1
             if refine_len > 0 and not stop.is_set():
                 from ginfinity_tpu.graphs.batching import _round_capacity
@@ -428,21 +409,17 @@ def prewarm_library_programs(n_seq: int, P: int, n_pairs: int, Ls: int,
                 Pr = _round_capacity(max(refine_len, Ls))
                 S = jnp.zeros((1, Pr, Pr), jnp.float32)
                 POS = jnp.zeros((n_seq, Pr), jnp.int32)
+                lane = jnp.zeros((ECr,), jnp.int32)
+                w = jnp.zeros((ECr,), jnp.float32)
                 S = _lib_accum(S, POS, Cv, Ci, pa, pb, lane, lane, lane, w)
                 _lib_merge_ops(
                     S, jnp.ones((1,), jnp.float32), jnp.ones((1,), jnp.int32),
                     jnp.ones((1,), jnp.int32), go, go,
                 ).block_until_ready()
                 n_done += 1
-            if not cold:
-                for B in extras:
-                    if stop.is_set():
-                        return
-                    warm_width(B)
-                    n_done += 1
             if os.environ.get("GINFINITY_MSA_TIMING"):
                 print(f"[prewarm] library-pool programs "
-                      f"({n_done} programs, cold={cold}, EC={EC}, P={P}) "
+                      f"({n_done} programs, EC={EC}, P={P}) "
                       f"{time.perf_counter() - t0:.2f}s", flush=True)
         except Exception:  # pragma: no cover - prewarm is best-effort
             pass
@@ -559,8 +536,10 @@ def run_library_pool(schedule, Cv_d, Ci_d, pair_a, pair_b,
     def _slot(s):
         return s if s < N else s + shift
 
-    Bmax = _pow2_batch(max(len(lanes) for lanes, _, _, _ in schedule))
-    EC = _entry_chunk_width(int(pa.shape[0]))
+    EC = _scan_entry_width(int(pa.shape[0]))
+    BW = _LIB_BW
+    TC = _POOL_SCAN_CHUNK
+    N_members = POS2COL.shape[0]
 
     import os
     import time
@@ -568,81 +547,70 @@ def run_library_pool(schedule, Cv_d, Ci_d, pair_a, pair_b,
     timing = os.environ.get("GINFINITY_MSA_TIMING")
     t0 = time.perf_counter()
 
-    # Dispatch plan: runs of >= _POOL_SCAN_MIN consecutive batch-1
-    # levels that each fit ONE entry chunk ride the scanned tail program
-    # in _POOL_SCAN_CHUNK groups (the NJ caterpillar tail is 2 dispatches
-    # per level otherwise); everything else keeps the per-level path.
-    TC = _POOL_SCAN_CHUNK
-    N_members = POS2COL.shape[0]
-    plan = []  # ("one", level) | ("scan", [levels])
-    li = 0
-    while li < len(schedule):
-        if len(schedule[li][0]) == 1 and len(schedule[li][1]) <= EC:
-            j = li
-            while (j < len(schedule) and len(schedule[j][0]) == 1
-                   and len(schedule[j][1]) <= EC):
-                j += 1
-            if j - li >= _POOL_SCAN_MIN:
-                for s in range(li, j, TC):
-                    plan.append(("scan", schedule[s : s + TC]))
-                li = j
-                continue
-        plan.append(("one", schedule[li]))
-        li += 1
+    # Flat step plan for the ONE unified program (see _LIB_BW): each
+    # level splits into lane groups of BW; each group's entry list
+    # splits into EC-wide chunks, all but the last accumulate-only.
+    # level_layout[level] = [(merge step index, group width), ...].
+    steps = []
+    level_layout: list[list[tuple[int, int]]] = []
+    for lanes, entries, mlane, mside in schedule:
+        groups = []
+        for g0 in range(0, len(lanes), BW):
+            glanes = lanes[g0 : g0 + BW]
+            gent = [(ln - g0, tt, fl) for (ln, tt, fl) in entries
+                    if g0 <= ln < g0 + BW]
+            chunks = ([gent[s : s + EC] for s in range(0, len(gent), EC)]
+                      or [[]])
+            for ch in chunks[:-1]:
+                steps.append((None, None, None, None, ch, 0))
+            blk = np.full((BW, 3), (0, 0, dump), np.int32)
+            denom = np.ones(BW, np.float32)
+            for i, (sa, sb, so, dn) in enumerate(glanes):
+                blk[i] = (_slot(sa), _slot(sb), _slot(so))
+                denom[i] = dn
+            g_mlane = np.zeros(N_members, np.int32)
+            g_mside = np.full(N_members, 2, np.int32)
+            in_g = (mside != 2) & (mlane >= g0) & (mlane < g0 + BW)
+            g_mlane[:N][in_g] = mlane[in_g] - g0
+            g_mside[:N][in_g] = mside[in_g]
+            steps.append((blk, denom, g_mlane, g_mside, chunks[-1], 1))
+            groups.append((len(steps) - 1, len(glanes)))
+        level_layout.append(groups)
 
-    ops_out, len_out, widths = [], [], []
-    for kind, item in plan:
-        if kind == "scan":
-            cnt = len(item)
-            blks = np.zeros((TC, 3), np.int32)
-            blks[:, 2] = dump
-            denoms = np.ones(TC, np.float32)
-            mlanes = np.zeros((TC, N_members), np.int32)
-            msides = np.full((TC, N_members), 2, np.int32)
-            tids = np.zeros((TC, EC), np.int32)
-            flips = np.zeros((TC, EC), np.int32)
-            ws = np.zeros((TC, EC), np.float32)
-            for t, (lanes, entries, mlane, mside) in enumerate(item):
-                blks[t] = [_slot(s) for s in lanes[0][:3]]
-                denoms[t] = lanes[0][3]
-                mlanes[t, :N] = mlane
-                msides[t, :N] = mside
-                for i, (_, tt, fl) in enumerate(entries):
-                    tids[t, i], flips[t, i], ws[t, i] = tt, fl, 1.0
-            POS2COL, LN, ops_rev, n_new = _lib_tail(
-                POS2COL, LN, Cv_d, Ci_d, pa, pb,
-                jnp.asarray(blks), jnp.asarray(denoms),
-                jnp.asarray(mlanes), jnp.asarray(msides),
-                jnp.asarray(tids), jnp.asarray(flips), jnp.asarray(ws),
-                go, ge,
-            )
-            ops_out.append(ops_rev)             # [TC, 2P] device ref
-            len_out.append(n_new)
-            widths.append(("scan", cnt))
-            continue
-        lanes, entries, mlane, mside = item
-        B = len(lanes)
-        Bp = 1 if B == 1 else Bmax
-        blk = np.zeros((Bp, 3), np.int32)
-        denom = np.ones(Bp, np.float32)
-        for i, (sa, sb, so, dn) in enumerate(lanes):
-            blk[i] = (_slot(sa), _slot(sb), _slot(so))
-            denom[i] = dn
-        blk[B:] = (0, 0, dump)
-        mlane_p = np.zeros(N_members, np.int32)
-        mside_p = np.full(N_members, 2, np.int32)
-        mlane_p[:N], mside_p[:N] = mlane, mside
-        S = jnp.zeros((Bp, P, P), jnp.float32)
-        S = _scatter_entry_chunks(
-            S, POS2COL, Cv_d, Ci_d, pa, pb, entries, EC
+    n_steps = -(-len(steps) // TC) * TC
+    blks = np.broadcast_to(
+        np.asarray((0, 0, dump), np.int32), (n_steps, BW, 3)
+    ).copy()
+    denoms = np.ones((n_steps, BW), np.float32)
+    mlanes = np.zeros((n_steps, N_members), np.int32)
+    msides = np.full((n_steps, N_members), 2, np.int32)
+    lanes_e = np.zeros((n_steps, EC), np.int32)
+    tids = np.zeros((n_steps, EC), np.int32)
+    flips = np.zeros((n_steps, EC), np.int32)
+    ws = np.zeros((n_steps, EC), np.float32)
+    merges = np.ones(n_steps, np.float32)  # padding steps merge into dump
+    for t, (blk, denom, g_mlane, g_mside, ch, mf) in enumerate(steps):
+        if mf:
+            blks[t], denoms[t] = blk, denom
+            mlanes[t], msides[t] = g_mlane, g_mside
+        merges[t] = mf
+        for i, (ln, tt, fl) in enumerate(ch):
+            lanes_e[t, i], tids[t, i], flips[t, i] = ln, tt, fl
+            ws[t, i] = 1.0
+
+    ops_out, len_out = [], []
+    for s in range(0, n_steps, TC):
+        sl = slice(s, s + TC)
+        POS2COL, LN, ops_rev, n_new = _lib_tail_wide(
+            POS2COL, LN, Cv_d, Ci_d, pa, pb,
+            jnp.asarray(blks[sl]), jnp.asarray(denoms[sl]),
+            jnp.asarray(mlanes[sl]), jnp.asarray(msides[sl]),
+            jnp.asarray(lanes_e[sl]), jnp.asarray(tids[sl]),
+            jnp.asarray(flips[sl]), jnp.asarray(ws[sl]),
+            jnp.asarray(merges[sl]), go, ge,
         )
-        POS2COL, LN, ops_rev, n_new = _lib_dp_merge(
-            POS2COL, LN, S, jnp.asarray(blk), jnp.asarray(denom),
-            jnp.asarray(mlane_p), jnp.asarray(mside_p), go, ge,
-        )
-        ops_out.append(ops_rev)                 # device refs — no sync
+        ops_out.append(ops_rev)                 # [TC, BW, 2P] device ref
         len_out.append(n_new)
-        widths.append(("one", B, Bp))
     t1 = time.perf_counter()
 
     # ONE blocking download for the whole run (see profile_pool)
@@ -652,21 +620,16 @@ def run_library_pool(schedule, Cv_d, Ci_d, pair_a, pair_b,
     if timing:
         print(f"[progressive detail] library pool enqueue {t1 - t0:.2f}s "
               f"device+download {t2 - t1:.2f}s levels={len(schedule)} "
-              f"submissions={len(plan)}")
+              f"steps={len(steps)} submissions={n_steps // TC}")
 
     ops_host, lengths = [], []
-    off = 0
-    for w in widths:
-        if w[0] == "scan":
-            for t in range(w[1]):
-                ops_host.append(ops_all[off + t : off + t + 1])
-                lengths.append(len_all[off + t : off + t + 1])
-            off += TC
-            continue
-        _, B, Bp = w
-        ops_host.append(ops_all[off : off + B])
-        lengths.append(len_all[off : off + B])
-        off += Bp
+    for groups in level_layout:
+        ops_host.append(
+            np.concatenate([ops_all[si][:w] for si, w in groups])
+        )
+        lengths.append(
+            np.concatenate([len_all[si][:w] for si, w in groups])
+        )
     if any(int(l.max(initial=0)) > P for l in lengths):
         return None                             # overflow -> host fallback
     return ops_host, lengths

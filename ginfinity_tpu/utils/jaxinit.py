@@ -52,7 +52,13 @@ def _default_cache_dir(platforms: str | None) -> str:
     muting all native logging; the host-keyed dir still prevents the
     real cross-machine SIGILL hazard."""
     base = os.path.join(os.path.expanduser("~"), ".cache", "ginfinity_tpu")
-    if platforms and "cpu" in platforms:
+    # the PRIMARY platform decides: jax_platforms is a priority list and
+    # plugins commonly register as "<tpu-plugin>,cpu" — substring-testing
+    # the whole string routed every TPU process into the host-keyed CPU
+    # dir (found round 5: the shared TPU dir sat empty while TPU
+    # executables accumulated under xla_cache_cpu_<host>)
+    primary = (platforms or "").split(",")[0].strip()
+    if primary == "cpu":
         return os.path.join(base, "xla_cache_cpu_" + host_fingerprint())
     return os.path.join(base, "xla_cache")
 

@@ -100,11 +100,11 @@ class TestLibraryPoolParity:
         _assert_profiles_equal(host, pool)
 
     def test_scan_tail_matches_host_scorer_loop(self):
-        """A left-deep chain tree is ALL batch-1 levels: with more
-        levels than _POOL_SCAN_MIN the pool dispatches through the
-        scanned _lib_tail program (one full _POOL_SCAN_CHUNK group plus
-        a padded remainder group) and must still reproduce the host
-        scorer loop byte-for-byte.
+        """A left-deep chain tree is ALL batch-1 levels: the unified
+        _lib_tail_wide scan runs them one lane per step across more
+        than one _POOL_SCAN_CHUNK submission (one full group plus a
+        padded remainder) and must still reproduce the host scorer
+        loop byte-for-byte.
 
         The library is built diagonal-dominant (each position's top
         partner is its own index) so chained merges stay near the leaf
