@@ -1695,6 +1695,7 @@ def iterative_refinement(
     scorer=None,
     merge_ops_fn=None,
     partitions: list[frozenset] | None = None,
+    min_gain: float = 0.0,
 ) -> tuple[Profile, dict]:
     """Split-and-realign refinement; returns (best alignment, stats).
 
@@ -1704,7 +1705,16 @@ def iterative_refinement(
 
     ``merge_ops_fn(A, B, go, ge)`` (PosteriorLibrary.merge_ops) is the
     device-fused scorer+DP fast path; when it returns None (or is not
-    given) each realign scores via ``scorer`` + the batched DP."""
+    given) each realign scores via ``scorer`` + the batched DP.
+
+    ``min_gain``: relative acceptance threshold — a realign is kept only
+    when it improves the embedding-SP proxy by more than
+    ``min_gain * max(1, |current score|)``.  The proxy is correlated
+    with, not identical to, true alignment quality, and marginal proxy
+    gains are where the two disagree (round-4 refinement A/B: 1 of 3
+    families' true SP-F1 regressed while its proxy improved); requiring
+    a material gain filters those noise-level acceptances.  0 keeps the
+    classic any-improvement rule."""
     best = aln
     best_score = sp_score(best, seq_profiles)
     stats = {"sp_initial": best_score, "accepted": 0, "iters": max(0, int(iters))}
@@ -1746,7 +1756,7 @@ def iterative_refinement(
         else:
             cand = merge_profiles(A, B, gap_open, gap_extend, seq_weight)
         sc = sp_score(cand, seq_profiles)
-        if sc > best_score:
+        if sc - best_score > min_gain * max(1.0, abs(best_score)):
             best, best_score = cand, sc
             stats["accepted"] += 1
     stats["sp_final"] = best_score
@@ -1876,6 +1886,11 @@ def build_parser():
                          "to 0: posterior scores already price gaps).")
     ap.add_argument("--dp-gap-extend", type=float, default=None)
     ap.add_argument("--refine-iters", type=int, default=0)
+    ap.add_argument("--refine-min-gain", type=float, default=0.002,
+                    help="Relative embedding-SP gain a refinement realign "
+                         "must clear to be accepted (guards against "
+                         "noise-level proxy gains that can trade away true "
+                         "alignment quality; 0 = accept any improvement).")
     ap.add_argument("--num-workers", type=int, default=4, help="Reference CLI compatibility.")
     ap.add_argument("--max-pairs", type=int, default=2000)
     ap.add_argument("--pair-batch", type=int, default=64,
@@ -2135,6 +2150,13 @@ def main(argv=None):
             slab_ki.append(ki)
             pair_chunks.append(chunk)
             ex = np.asarray(ex)
+            # NOTE: do NOT release the prewarm gate here (tried in round
+            # 5: releasing after the first batch let the background
+            # program load run concurrently with the remaining posterior
+            # dispatches, and 2/2 such runs hit a 430-510 s tunnel
+            # session stall inside this stage vs 0/5 with the gate held
+            # — the axon transport degrades under concurrent submission
+            # threads; the release stays after stage_done below)
             for t, (a, b) in enumerate(chunk):
                 expected_scores[a, b] = expected_scores[b, a] = float(ex[t])
 
@@ -2237,6 +2259,7 @@ def main(argv=None):
             dp_go, dp_ge, seq_weight=float(args.seq_weight), scorer=scorer,
             merge_ops_fn=library.merge_ops if library is not None else None,
             partitions=tree_partitions(tree, N),
+            min_gain=float(args.refine_min_gain),
         )
     # alignment work is over: any prewarm program not yet started is
     # pure waste now (and would stall process exit on its compile)

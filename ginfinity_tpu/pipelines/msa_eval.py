@@ -344,7 +344,8 @@ def _param_flags(params: dict) -> list[str]:
     # refine_iters appears AFTER _SHARED_FLAGS' "--refine-iters 0"
     # default, so argparse's last-wins override applies
     for k in ("topk", "consistency_rounds", "alpha", "beta", "gap_open",
-              "gap_extend", "max_pairs", "seed", "refine_iters"):
+              "gap_extend", "max_pairs", "seed", "refine_iters",
+              "refine_min_gain"):
         if k in params:
             out += [f"--{k.replace('_', '-')}", str(params[k])]
     return out
