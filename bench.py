@@ -98,6 +98,59 @@ def measure_f16_wire(structures):
             "max_rel_err_vs_f32_wire": round(err, 7)}
 
 
+def measure_windows_floor(structures):
+    """Transport-floor control for the windows headline (VERDICT r4
+    item 10): the same fused dispatch with the big D2H replaced by an
+    on-device reduction (4-byte download per group) isolates pure
+    prep+device time; headline-minus-device is then the transport tail.
+    BASELINE.md's floor analysis (device ~225 ms + D2H ~115 ms at f32
+    wire, serialized on this tunnel) becomes a recurring artifact."""
+    import jax.numpy as jnp
+
+    from ginfinity_tpu.models.checkpoint import import_torch_checkpoint
+    from ginfinity_tpu.pipelines.fast_windows import (
+        _chunk_for,
+        _embed_windows_stacked_jit,
+        _ladder_caps,
+        _pack_group,
+        _prep_corpus_groups,
+    )
+
+    cfg, params, state, _ = import_torch_checkpoint(CKPT)
+    per, groups = _prep_corpus_groups(cfg, structures, WINDOW, True, 0.0)
+    n = sum(p[4].size for p in per if p is not None)
+
+    def device_pass():
+        outs = []
+        for n_cap, idxs in sorted(groups.items()):
+            feats, pts_p, sidx_p, starts_p, p_cap, b_cap, w_cap = _pack_group(
+                cfg, per, n_cap, idxs
+            )
+            emb = _embed_windows_stacked_jit(
+                cfg, params, state,
+                jnp.asarray(feats), jnp.asarray(pts_p),
+                jnp.asarray(sidx_p), jnp.asarray(starts_p),
+                WINDOW, True, *_ladder_caps(cfg, p_cap, b_cap),
+                _chunk_for(w_cap),
+            )
+            outs.append(jnp.sum(emb))  # 4-byte fence per group
+        return [float(np.asarray(o)) for o in outs]
+
+    device_pass()  # warm
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        device_pass()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return {"device_only_emb_per_sec": round(n / best, 1),
+            "device_only_sec": round(best, 3),
+            "n_windows": n,  # real windows (padded rows also computed,
+                             # matching the headline's denominator)
+            "note": "headline e2e minus this = transport tail "
+                    "(D2H serialized behind compute on this tunnel)"}
+
+
 def measure_torch_cpu_baseline(graphs, feature_dim, max_graphs=2000):
     """Reference-equivalent CPU path (torch, float32, batch 32)."""
     import torch
@@ -381,6 +434,108 @@ def measure_msa_quality_real(families=2, n_seqs=8, min_len=250):
     return out
 
 
+def measure_pallas_parity(n_windows=64):
+    """Recurring REAL-hardware parity artifact for the default-on Pallas
+    kernels (VERDICT r4: CI runs them interpret-mode only, so a
+    Mosaic/XLA regression would surface as wrong embeddings, not a
+    failed check).  Fixed probes, both kernels vs their XLA twins:
+
+    - window encoder: `_forward_windows_aligned(use_pallas=True/False)`
+      on the first 64 windows of the first sample structure
+      (`ops/pallas_windows.py`, default-on for the flagship config);
+    - affine DP (global AND local): `affine_align_batch(backend=
+      'pallas'/'lax')` scores + tracebacks (`ops/pallas_dp.py`).
+    """
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from ginfinity_tpu.graphs.build import window_node_features
+    from ginfinity_tpu.graphs.dotbracket import pair_table
+    from ginfinity_tpu.models.checkpoint import import_torch_checkpoint
+    from ginfinity_tpu.ops.dp import affine_align_batch
+    from ginfinity_tpu.ops.pallas_windows import (
+        _pick_cb,
+        layer_dims,
+        pallas_windows_ok,
+    )
+    from ginfinity_tpu.pipelines.fast_windows import _forward_windows_aligned
+
+    out = {"backend": jax.default_backend()}
+    if jax.default_backend() == "cpu":
+        # Mosaic kernels cannot compile on CPU (interpret mode is what CI
+        # covers); this extra only certifies real accelerators
+        out["skipped"] = "cpu backend (CI covers interpret mode)"
+        return out
+
+    cfg, params, state, _ = import_torch_checkpoint(CKPT)
+    out["windows_kernel_active"] = bool(
+        pallas_windows_ok(cfg)
+        and _pick_cb(layer_dims(cfg), cfg.output_dim, WINDOW) is not None
+    )
+    s = pd.read_csv(SAMPLE)["secondary_structure"].astype(str).iloc[0]
+    pt = pair_table(s)
+    feats = jnp.asarray(
+        window_node_features(pt, None, cfg.seq_weight, cfg.graph_encoding,
+                             cfg.node_feature_dim)
+    )[None]
+    pts = jnp.asarray(pt)[None]
+    si = jnp.zeros(n_windows, jnp.int32)
+    st = jnp.arange(n_windows, dtype=jnp.int32)
+
+    def run(use_pallas):
+        f = jax.jit(lambda p, ms: _forward_windows_aligned(
+            cfg, p, ms, feats, pts, si, st, WINDOW, True, None, use_pallas))
+        return np.asarray(f(params, state))
+
+    err = float(np.max(np.abs(run(True) - run(False))))
+    out["windows_pallas_vs_xla_max_abs_err"] = err
+
+    rng = np.random.default_rng(0)
+    mats = [0.5 * rng.normal(size=(200, 180)).astype(np.float32),
+            0.5 * rng.normal(size=(150, 190)).astype(np.float32)]
+    for mode in ("global", "local"):
+        rp = affine_align_batch(mats, -10.0, -0.5, mode=mode, backend="pallas")
+        rl = affine_align_batch(mats, -10.0, -0.5, mode=mode, backend="lax")
+        out[f"dp_{mode}_score_max_abs_err"] = float(
+            max(abs(a[0] - b[0]) for a, b in zip(rp, rl))
+        )
+        out[f"dp_{mode}_paths_equal"] = bool(
+            all(a[1] == b[1] for a, b in zip(rp, rl))
+        )
+    return out
+
+
+def measure_msa_quality_at_scale(n_seqs=50, anc_len=300, max_pairs=150):
+    """MSA quality at the SCALE the perf work targets (VERDICT r4: every
+    quality number was N=5-8 / L~120-150 while the scale story is
+    N=200/L=300).  One generator family with known homology at N>=50,
+    L>=300; both repo modes + tuned defaults + the reference pipeline on
+    identical embeddings, pair count capped identically via --max-pairs
+    (the reference caps the same way, embed_msa.py:319-354 kNN)."""
+    import contextlib
+    import tempfile
+
+    from ginfinity_tpu.pipelines.msa_eval import compare_on_family, make_family
+
+    members = make_family(
+        4200, n_seqs=n_seqs, anc_len=anc_len,
+        sub_rate=0.05, del_rate=0.03, ins_rate=0.03,
+    )
+    with tempfile.TemporaryDirectory() as td:
+        with contextlib.redirect_stdout(sys.stderr):
+            res = compare_on_family(
+                members, CKPT, td, params={"max_pairs": max_pairs}
+            )
+    out = {}
+    for k in ("repo", "repo_library", "repo_library_tuned", "reference"):
+        out[k + "_sp_f1"] = res[k]["sp_f1"]
+        out[k + "_wall_sec"] = res[k]["wall_sec"]
+    out.update({"families": 1, "n_seqs": n_seqs, "anc_len": anc_len,
+                "max_pairs": max_pairs})
+    return out
+
+
 def measure_msa_refinement(families=3, n_seqs=6, anc_len=120):
     """Quality delta from iterative refinement on top of library-mode
     scoring (the reference's refinement hook is a no-op, so this is
@@ -416,11 +571,18 @@ def measure_msa_refinement(families=3, n_seqs=6, anc_len=120):
                         dp_score="library",
                     )
                     sc = sp_scores(load_aln_tsv(prefix + ".aln.tsv"), members)
-                    acc[iters].append(sc["sp_f1"])
+                    acc[iters].append(round(sc["sp_f1"], 4))
                     walls[iters].append(round(sec, 2))
+    # per-family lists so regressions are visible, not averaged away
+    # (the acceptance guard --refine-min-gain exists exactly for them)
+    deltas = [round(a - b, 4) for a, b in zip(acc[32], acc[0])]
     return {
         "library_refine0_sp_f1": round(float(np.mean(acc[0])), 4),
         "library_refine32_sp_f1": round(float(np.mean(acc[32])), 4),
+        "per_family_refine0": acc[0],
+        "per_family_refine32": acc[32],
+        "per_family_delta": deltas,
+        "families_regressed": int(sum(d < 0 for d in deltas)),
         "refine32_wall_sec": walls[32],
         "families": families, "n_seqs": n_seqs, "anc_len": anc_len,
     }
@@ -494,10 +656,14 @@ def main():
             extra = {}
     for name, fn in (("search", measure_search_quick), ("train", measure_train_step),
                      ("windows_f16_wire", lambda: measure_f16_wire(structures)),
+                     ("windows_transport_floor",
+                      lambda: measure_windows_floor(structures)),
+                     ("pallas_parity", measure_pallas_parity),
                      ("msa", measure_msa_quick),
                      ("msa_scale", measure_msa_scale),
                      ("msa_quality_vs_reference", measure_msa_quality),
                      ("msa_quality_real_ancestors", measure_msa_quality_real),
+                     ("msa_quality_at_scale", measure_msa_quality_at_scale),
                      ("msa_refinement_quality", measure_msa_refinement),
                      ("trained_model_eval", measure_trained_model_eval)):
         try:
