@@ -390,13 +390,19 @@ def build_parser() -> argparse.ArgumentParser:
                              "retrieval-identical to the reference; bf16 is "
                              "the ~2x-throughput speed mode (see BASELINE.md "
                              "for measured recall impact).")
-    parser.add_argument("--wire", choices=["f32", "f16"], default="f32",
+    parser.add_argument("--wire", choices=["f32", "f16"], default=None,
                         help="With --window-size: D2H encoding for the "
-                             "embedding download. f32 (default) is exact; "
-                             "f16 halves the bytes over a link-bound "
-                             "transport at <=4.9e-4 relative rounding "
-                             "(compute stays at --precision; only the "
-                             "wire format changes).")
+                             "embedding download. f32 is exact; f16 halves "
+                             "the bytes over a link-bound transport at "
+                             "<=4.9e-4 relative rounding (compute stays at "
+                             "--precision; only the wire format changes). "
+                             "Default: f32, EXCEPT under --precision bf16 "
+                             "where f16 is auto-enabled — the user already "
+                             "opted into lossy compute (bf16's ~2^-8 step "
+                             "dominates the wire's <=2^-11), so the exact "
+                             "download would only throw away the speed "
+                             "mode's transport win; pass --wire f32 to "
+                             "force the exact download.")
     parser.add_argument("--bf16-check", type=int, default=0, metavar="N",
                         help="With --precision bf16 and --window-size: "
                              "re-embed ~N sampled windows at f32 and log "
@@ -428,6 +434,15 @@ def _main_inner(args):
         # TPU plugin teardown.
         sys.exit("ERROR: --wire f16 requires --window-size (it is the D2H "
                  "encoding of the fused window-embedding download).")
+    if args.wire is None:
+        # see --wire help: bf16 compute auto-enables the f16 wire (its
+        # rounding is 8x below bf16's own step); explicit --wire wins
+        args.wire = ("f16" if args.precision == "bf16"
+                     and args.window_size is not None else "f32")
+        if args.wire == "f16" and not args.quiet:
+            print("[generate_embeddings] --precision bf16: using the f16 "
+                  "result wire (halved download; pass --wire f32 to force "
+                  "the exact download)")
 
     start_backend_warmup()  # overlap backend bring-up with input reading
 

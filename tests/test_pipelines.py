@@ -106,6 +106,35 @@ class TestEmbedCLI:
                   "--model-path", CKPT, "--id-column", "id",
                   "--wire", "f16", "--quiet"])
 
+    def test_bf16_auto_enables_f16_wire(self, tmp_path, monkeypatch):
+        """--precision bf16 + --window-size auto-enables the f16 result
+        wire (the user opted into lossy compute, whose ~2^-8 step
+        dominates the wire's <=2^-11); explicit --wire f32 forces the
+        exact download; plain f32 precision keeps the f32 wire."""
+        import ginfinity_tpu.pipelines.embed as embed_mod
+
+        df = pd.DataFrame({"id": ["a"], "secondary_structure": ["((..))."]})
+        inp = str(tmp_path / "in.csv")
+        df.to_csv(inp, index=False)
+        seen = {}
+        real = embed_mod.generate_window_embeddings
+
+        def spy(**kw):
+            seen["wire"] = kw.get("wire")
+            return real(**kw)
+
+        monkeypatch.setattr(embed_mod, "generate_window_embeddings", spy)
+        base = ["--input", inp, "--model-path", CKPT, "--id-column", "id",
+                "--quiet", "--window-size", "4"]
+        embed_mod.main(base + ["--output", str(tmp_path / "o1.tsv"),
+                               "--precision", "bf16"])
+        assert seen["wire"] == "f16"
+        embed_mod.main(base + ["--output", str(tmp_path / "o2.tsv"),
+                               "--precision", "bf16", "--wire", "f32"])
+        assert seen["wire"] is None
+        embed_mod.main(base + ["--output", str(tmp_path / "o3.tsv")])
+        assert seen["wire"] is None
+
     def test_graph_pt_requires_meta_tsv(self, tmp_path):
         from ginfinity_tpu.pipelines.embed import main
 
