@@ -503,6 +503,29 @@ def measure_pallas_parity(n_windows=64):
         out[f"dp_{mode}_paths_equal"] = bool(
             all(a[1] == b[1] for a, b in zip(rp, rl))
         )
+
+    # reference-exact profile DP: the bit-parity claim holds only on
+    # hardware where f32 elementwise ops are IEEE and un-contracted
+    # (TPU asserted; CPU XLA FMA-contracts the sequential dot), so this
+    # recurring check pins it per round against the numpy oracle that
+    # itself matches the reference's pure-python DP bit-for-bit
+    # (tests/test_profile_exact.py)
+    from tests.test_profile_exact import (
+        oracle_dp, oracle_seq_dot, oracle_walk,
+    )
+    from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops_exact
+
+    mu = rng.normal(size=(2, 300, 128)).astype(np.float32)
+    mu /= np.linalg.norm(mu, axis=2, keepdims=True) + 1e-8
+    stems = (rng.random((2, 300)) > 0.5).astype(np.float32)
+    S = oracle_seq_dot(mu[0], mu[1])
+    comp = np.where(
+        (stems[0][:, None] >= 0.5) == (stems[1][None, :] >= 0.5),
+        np.float32(0.2), np.float32(0.0))
+    want = oracle_walk(*oracle_dp(S, comp, -10.0, -0.5), 300, 300)
+    got = profile_align_batch_ops_exact(
+        [(mu[0], mu[1])], [(stems[0], stems[1])], -10.0, -0.5)[0]
+    out["profile_exact_dp_ops_bit_identical"] = bool(list(got) == want)
     return out
 
 

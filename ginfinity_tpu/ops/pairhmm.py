@@ -467,14 +467,12 @@ def _profile_dense(S, l1, l2, go, ge):
     return un(Ms), un(Xs), un(Ys)
 
 
-def _profile_ops_impl(S, l1, l2, go, ge):
-    """Dense profile DP + the reference's VALUE-BASED traceback, both on
-    device (embed_msa.py:1042-1054 selection semantics, including the
+def _value_traceback(M, X, Y, l1, l2):
+    """The reference's VALUE-BASED traceback on dense [B, L1+1, L2+1]
+    M/X/Y (embed_msa.py:1042-1054 selection semantics, including the
     M-then-X-then-Y strict-greater priority).  Returns op codes in
     traceback (reverse) order: 0 match, 1 gap-in-B, 2 gap-in-A,
-    3 padding.  Un-jitted body so the device-resident progressive pool
-    (ops/profile_pool.py) can inline it into its own level program."""
-    M, X, Y = _profile_dense(S, l1, l2, go, ge)
+    3 padding."""
     n_steps = (M.shape[1] - 1) + (M.shape[2] - 1)
 
     def one(Mk, Xk, Yk, a, b):
@@ -505,7 +503,202 @@ def _profile_ops_impl(S, l1, l2, go, ge):
     return jax.vmap(one)(M, X, Y, l1, l2)
 
 
+def _profile_ops_impl(S, l1, l2, go, ge):
+    """Dense profile DP + value traceback, both on device.  Un-jitted
+    body so the device-resident progressive pool (ops/profile_pool.py)
+    can inline it into its own level program."""
+    M, X, Y = _profile_dense(S, l1, l2, go, ge)
+    return _value_traceback(M, X, Y, l1, l2)
+
+
 _profile_ops = jax.jit(_profile_ops_impl)
+
+
+# ==========================================================================
+# Reference-EXACT profile DP (bit-for-bit float32 parity)
+#
+# The reference's progressive DP runs in pure-Python float32 when numba
+# is absent (embed_msa.py:874-930 under the no-op njit shim): the column
+# dot product accumulates SEQUENTIALLY over the embedding dim with an
+# f32 rounding per term, and the match update rounds twice —
+# (best_prev + s) then + comp.  Competing co-optimal paths in profile
+# alignment differ by ~1e-5 at L~300 score magnitudes (~370), which is
+# BELOW the f32 noise floor of any differently-ordered evaluation — so
+# two correct f32 implementations of the same recurrence systematically
+# pick different merge paths, and the measured alignment quality tracks
+# the reference's realization (N=50/L=300 families: reference-realization
+# DP 0.112-0.123 SP-F1 vs exact-dot/XLA-ordered DP 0.096-0.104 across
+# input shuffles — the gap is systematic, not tie-luck).
+#
+# TPU f32 multiply/add/max are IEEE-exact and XLA:TPU does not
+# FMA-contract these elementwise ops, so the kernel below reproduces the
+# reference's DP matrices BIT-FOR-BIT (asserted on device), which with
+# the exact traceback + merge bookkeeping makes profile-mode progressive
+# alignment byte-identical to the reference's given the same guide tree.
+# ==========================================================================
+
+
+def _seq_dot_scores(MUA, MUB):
+    """[B, P, d] x [B, Q, d] -> [B, P, Q] with the reference's SEQUENTIAL
+    f32 accumulation order: one rounded multiply + one rounded add per
+    embedding dim (no FMA, no tree reduction)."""
+    B, P, _ = MUA.shape
+    Q = MUB.shape[1]
+
+    def step(S, ab):
+        a, b = ab
+        prod = a[:, :, None] * b[:, None, :]
+        return S + prod, None
+
+    S, _ = jax.lax.scan(
+        step,
+        jnp.zeros((B, P, Q), jnp.float32),
+        (jnp.moveaxis(MUA, 2, 0), jnp.moveaxis(MUB, 2, 0)),
+    )
+    return S
+
+
+def _profile_wavefront_exact(S, C, l1, l2, go, ge):
+    """Wavefront profile DP with the reference's exact f32 op order:
+    M = (best_prev + s) + comp, two separately-rounded adds, and the
+    X/Y boundary chains evaluated by the recurrence itself (the closed
+    form go + ge*(i-1) rounds differently for non-representable ge)."""
+    B, L1, L2 = S.shape
+    D = L1 + L2
+    iidx = jnp.arange(L1 + 1)
+
+    def shift_down(x, fill=NEG):
+        return jnp.concatenate([jnp.full((B, 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+    def step(carry, d):
+        M1, M2, X1, X2, Y1, Y2 = carry
+        j = d - iidx
+        valid = (iidx <= l1[:, None]) & (j[None, :] >= 0) & (j[None, :] <= l2[:, None])
+        si = jnp.clip(iidx - 1, 0, L1 - 1)
+        sj = jnp.clip(j - 1, 0, L2 - 1)
+        s = S[:, si, sj]
+        c = C[:, si, sj]
+
+        Mdd, Xdd, Ydd = shift_down(M2), shift_down(X2), shift_down(Y2)
+        M = (jnp.maximum(jnp.maximum(Mdd, Xdd), Ydd) + s) + c
+        Mup, Xup = shift_down(M1), shift_down(X1)
+        X = jnp.maximum(Mup + go, Xup + ge)
+        Y = jnp.maximum(M1 + go, Y1 + ge)
+
+        is_i0 = iidx[None, :] == 0
+        is_j0 = j[None, :] == 0
+        M = jnp.where(is_i0 | is_j0, NEG, M)
+        # X[i,0] and Y[0,j] come out of the recurrence itself: the NEG
+        # fills absorb the go/ge adds exactly at f32 (-1e30 - 10 rounds
+        # to -1e30), matching the reference's boundary chain bits.
+        X = jnp.where(is_i0 & is_j0, NEG, X)
+        Y = jnp.where(is_i0 & is_j0, NEG, Y)
+
+        M = jnp.where(valid, M, NEG)
+        X = jnp.where(valid, X, NEG)
+        Y = jnp.where(valid, Y, NEG)
+        return (M, M1, X, X1, Y, Y1), (M, X, Y)
+
+    M0 = jnp.full((B, L1 + 1), NEG).at[:, 0].set(0.0)
+    X0 = jnp.full((B, L1 + 1), NEG)
+    Y0 = jnp.full((B, L1 + 1), NEG)
+    Mm1 = jnp.full((B, L1 + 1), NEG)
+    _, (Ms, Xs, Ys) = jax.lax.scan(
+        step, (M0, Mm1, X0, Mm1, Y0, Mm1), jnp.arange(1, D + 1)
+    )
+    pre = lambda z0, zs: jnp.concatenate([z0[None], zs], axis=0)
+    return pre(M0, Ms), pre(X0, Xs), pre(Y0, Ys)
+
+
+def _comp_bonus(STA, STB):
+    """[B, P] x [B, Q] -> [B, P, Q] stem-compatibility bonus (0.2 when
+    both columns are on the same side of the 0.5 stem-fraction split;
+    embed_msa.py:897-899)."""
+    agree = (STA[:, :, None] >= 0.5) == (STB[:, None, :] >= 0.5)
+    return jnp.where(agree, jnp.float32(0.2), jnp.float32(0.0))
+
+
+def _profile_ops_from_split_scores(S, C, l1, l2, go, ge):
+    """Exact wavefront on split (dot, comp) scores + value traceback.
+    Un-jitted body so the progressive pool can inline it."""
+    B, L1, L2 = S.shape
+    Mw, Xw, Yw = _profile_wavefront_exact(S, C, l1, l2, go, ge)
+    ii = jnp.arange(L1 + 1)[:, None]
+    jj = jnp.arange(L2 + 1)[None, :]
+    dsel = ii + jj
+    isel = jnp.broadcast_to(ii, (L1 + 1, L2 + 1))
+    un = lambda Zs: jnp.transpose(Zs, (1, 0, 2))[:, dsel, isel]
+    return _value_traceback(un(Mw), un(Xw), un(Yw), l1, l2)
+
+
+def _profile_ops_exact_impl(MUA, MUB, STA, STB, l1, l2, go, ge,
+                            MBA=None, MBB=None, sw=None):
+    """Reference-exact profile DP + value traceback from raw column
+    embeddings.  Dual modality follows the reference's op order too:
+    s = (1-w)*s_struct + w*s_base with separately-rounded f32 terms
+    (embed_msa.py:955-960)."""
+    S = _seq_dot_scores(MUA, MUB)
+    if MBA is not None:
+        Sb = _seq_dot_scores(MBA, MBB)
+        S = (jnp.float32(1.0) - sw) * S + sw * Sb
+    C = _comp_bonus(STA, STB)
+    return _profile_ops_from_split_scores(S, C, l1, l2, go, ge)
+
+
+_profile_ops_exact = jax.jit(_profile_ops_exact_impl)
+
+
+def profile_align_batch_ops_exact(
+    mu_pairs: list[tuple[np.ndarray, np.ndarray]],
+    stem_pairs: list[tuple[np.ndarray, np.ndarray]],
+    gap_open: float, gap_extend: float,
+    base_pairs: list[tuple[np.ndarray, np.ndarray]] | None = None,
+    seq_weight: float = 0.0,
+) -> list[np.ndarray]:
+    """Batched reference-exact profile DP from raw column embeddings;
+    returns forward-order op sequences like profile_align_batch_ops."""
+    B = len(mu_pairs)
+    Bp = _pow2_batch(B)
+    from ginfinity_tpu.graphs.batching import _round_capacity
+
+    P = _round_capacity(max(
+        max(a.shape[0] for a, _ in mu_pairs),
+        max(b.shape[0] for _, b in mu_pairs),
+    ))
+    d = mu_pairs[0][0].shape[1]
+    MUA = np.zeros((Bp, P, d), np.float32)
+    MUB = np.zeros((Bp, P, d), np.float32)
+    STA = np.zeros((Bp, P), np.float32)
+    STB = np.zeros((Bp, P), np.float32)
+    l1 = np.zeros(Bp, np.int32)
+    l2 = np.zeros(Bp, np.int32)
+    for k, ((a, b), (sa, sb)) in enumerate(zip(mu_pairs, stem_pairs)):
+        MUA[k, : a.shape[0]] = a
+        MUB[k, : b.shape[0]] = b
+        STA[k, : sa.shape[0]] = sa
+        STB[k, : sb.shape[0]] = sb
+        l1[k], l2[k] = a.shape[0], b.shape[0]
+    kw = {}
+    if base_pairs is not None and seq_weight > 0.0:
+        db = next((a.shape[1] for a, _ in base_pairs if a is not None), 0)
+        if db:
+            MBA = np.zeros((Bp, P, db), np.float32)
+            MBB = np.zeros((Bp, P, db), np.float32)
+            for k, (a, b) in enumerate(base_pairs):
+                if a is not None:
+                    MBA[k, : a.shape[0]] = a
+                if b is not None:
+                    MBB[k, : b.shape[0]] = b
+            kw = {"MBA": jnp.asarray(MBA), "MBB": jnp.asarray(MBB),
+                  "sw": jnp.float32(seq_weight)}
+    ops = np.asarray(
+        _profile_ops_exact(
+            jnp.asarray(MUA), jnp.asarray(MUB), jnp.asarray(STA),
+            jnp.asarray(STB), jnp.asarray(l1), jnp.asarray(l2),
+            jnp.float32(gap_open), jnp.float32(gap_extend), **kw,
+        )
+    )
+    return [ops[k][ops[k] != 3][::-1].copy() for k in range(B)]
 
 
 def _pow2_batch(b: int) -> int:
@@ -561,14 +754,19 @@ def profile_align_batch_ops(S_list: list[np.ndarray], gap_open: float,
     return [ops[k][ops[k] != 3][::-1].copy() for k in range(B)]
 
 
-def prewarm_profile_programs(l_cap: int, b_max: int):
+def prewarm_profile_programs(l_cap: int, b_max: int,
+                             exact_dims: tuple[int, int] | None = None):
     """Load/compile the progressive-DP program ladder in the background.
 
     Call at pipeline entry (lengths known, guide tree not yet built):
     the executable loads overlap the posterior/consistency stages so the
     progressive stage never blocks on a per-shape program load.  Inputs
     are created on device (`jnp.zeros`) — nothing crosses the host link.
-    Returns the thread; `.join()` is optional."""
+    Returns the thread; `.join()` is optional.
+
+    ``exact_dims=(d, base_dim)`` warms the reference-exact kernel
+    (profile-mode default) instead of the S-matrix kernel; base_dim 0
+    warms the struct-only signature."""
     import threading
 
     from ginfinity_tpu.graphs.batching import _round_capacity
@@ -591,12 +789,29 @@ def prewarm_profile_programs(l_cap: int, b_max: int):
             if stop.is_set():
                 return
             try:
-                r = _profile_ops(
-                    jnp.zeros((B, P, P), jnp.float32),
-                    jnp.ones((B,), jnp.int32),
-                    jnp.ones((B,), jnp.int32),
-                    jnp.float32(-1.0), jnp.float32(-0.1),
-                )
+                if exact_dims is not None:
+                    d, db = exact_dims
+                    kw = {}
+                    if db:
+                        kw = {"MBA": jnp.zeros((B, P, db), jnp.float32),
+                              "MBB": jnp.zeros((B, P, db), jnp.float32),
+                              "sw": jnp.float32(0.5)}
+                    r = _profile_ops_exact(
+                        jnp.zeros((B, P, d), jnp.float32),
+                        jnp.zeros((B, P, d), jnp.float32),
+                        jnp.zeros((B, P), jnp.float32),
+                        jnp.zeros((B, P), jnp.float32),
+                        jnp.ones((B,), jnp.int32),
+                        jnp.ones((B,), jnp.int32),
+                        jnp.float32(-1.0), jnp.float32(-0.1), **kw,
+                    )
+                else:
+                    r = _profile_ops(
+                        jnp.zeros((B, P, P), jnp.float32),
+                        jnp.ones((B,), jnp.int32),
+                        jnp.ones((B,), jnp.int32),
+                        jnp.float32(-1.0), jnp.float32(-0.1),
+                    )
                 jax.block_until_ready(r)
             except Exception:  # pragma: no cover - best-effort warmup
                 return

@@ -83,7 +83,8 @@ def pool_padded_len(max_leaf_len: int) -> int:
     return _round_capacity(m + max(8, m // 8))
 
 
-def _pool_level_impl(MU, MB, ST, LN, blk, go, ge, sw, has_base):
+def _pool_level_impl(MU, MB, ST, LN, blk, go, ge, sw, has_base,
+                     exact=True):
     """Run one tree level: gather children, score, DP, merge, scatter.
 
     ``blk`` is the level's [Bp, 3] (ia, ib, iout) slot table — sliced on
@@ -91,25 +92,44 @@ def _pool_level_impl(MU, MB, ST, LN, blk, go, ge, sw, has_base):
     uploads that table ONCE; per-level host index uploads would pay a
     tunnel transfer three times per tree level).
 
+    ``exact=True`` (default) scores and DPs with the reference's exact
+    f32 op order (pairhmm._profile_ops_exact_impl): sequential-d dot
+    accumulation + (prev + s) + comp two-step adds, which reproduces the
+    reference's DP matrices bit-for-bit on TPU — profile-mode output is
+    then byte-identical to the reference's for the same guide tree.
+    ``exact=False`` keeps the exact-dot MXU einsum (faster, XLA rounding
+    order; opt in via GINFINITY_PROFILE_DP=fast).
+
     Returns the updated pool plus the per-merge reverse-order op codes
     [B, 2P] (for host char replay) and merged lengths [B]."""
     ia, ib, iout = blk[:, 0], blk[:, 1], blk[:, 2]
     P = MU.shape[1]
     A = MU[ia]
     Bm = MU[ib]  # [B, P, d]
-    S = jnp.einsum("bpd,bqd->bpq", A, Bm, precision=_HIGHEST)
-    if has_base:
-        Sb = jnp.einsum("bpd,bqd->bpq", MB[ia], MB[ib], precision=_HIGHEST)
-        S = (1.0 - sw) * S + sw * Sb
     stA = ST[ia]
     stB = ST[ib]
-    comp = jnp.where(
-        (stA[:, :, None] >= 0.5) == (stB[:, None, :] >= 0.5), 0.2, 0.0
-    ).astype(S.dtype)
-    S = S + comp
     l1 = LN[ia]
     l2 = LN[ib]
-    ops_rev = _profile_ops_impl(S, l1, l2, go, ge)  # [B, 2P] int8, reverse order
+    if exact:
+        from ginfinity_tpu.ops.pairhmm import _profile_ops_exact_impl
+
+        kw = ({"MBA": MB[ia], "MBB": MB[ib], "sw": sw}
+              if has_base else {})
+        ops_rev = _profile_ops_exact_impl(
+            A, Bm, stA, stB, l1, l2, go, ge, **kw
+        )
+    else:
+        S = jnp.einsum("bpd,bqd->bpq", A, Bm, precision=_HIGHEST)
+        if has_base:
+            Sb = jnp.einsum(
+                "bpd,bqd->bpq", MB[ia], MB[ib], precision=_HIGHEST
+            )
+            S = (1.0 - sw) * S + sw * Sb
+        comp = jnp.where(
+            (stA[:, :, None] >= 0.5) == (stB[:, None, :] >= 0.5), 0.2, 0.0
+        ).astype(S.dtype)
+        S = S + comp
+        ops_rev = _profile_ops_impl(S, l1, l2, go, ge)  # [B, 2P] int8
 
     def merge_one(opsr, Amu, Bmu, Ast, Bst, Abase, Bbase):
         T = opsr.shape[0]
@@ -163,12 +183,13 @@ def _pool_level_impl(MU, MB, ST, LN, blk, go, ge, sw, has_base):
     return MU, MB, ST, LN, ops_rev, n_new
 
 
-_pool_level = partial(jax.jit, static_argnames=("has_base",),
+_pool_level = partial(jax.jit, static_argnames=("has_base", "exact"),
                       donate_argnums=(0, 1, 2, 3))(_pool_level_impl)
 
 
-@partial(jax.jit, static_argnames=("has_base",), donate_argnums=(0, 1, 2, 3))
-def _pool_tail(MU, MB, ST, LN, blks, go, ge, sw, has_base):
+@partial(jax.jit, static_argnames=("has_base", "exact"),
+         donate_argnums=(0, 1, 2, 3))
+def _pool_tail(MU, MB, ST, LN, blks, go, ge, sw, has_base, exact=True):
     """Run a fixed-width chunk of consecutive batch-1 tree levels as ONE
     device program: ``lax.scan`` over ``blks`` [_POOL_SCAN_CHUNK, 3],
     each step a full batch-1 level (score + DP + merge + scatter).  The
@@ -185,7 +206,7 @@ def _pool_tail(MU, MB, ST, LN, blks, go, ge, sw, has_base):
     def body(carry, blk):
         MU, MB, ST, LN = carry
         MU, MB, ST, LN, ops_rev, n_new = _pool_level_impl(
-            MU, MB, ST, LN, blk[None, :], go, ge, sw, has_base
+            MU, MB, ST, LN, blk[None, :], go, ge, sw, has_base, exact
         )
         return (MU, MB, ST, LN), (ops_rev[0], n_new[0])
 
@@ -196,7 +217,7 @@ def _pool_tail(MU, MB, ST, LN, blks, go, ge, sw, has_base):
 
 
 def run_progressive_pool(levels, leaf_mu, leaf_base, leaf_stem, leaf_len,
-                         P, gap_open, gap_extend, seq_weight):
+                         P, gap_open, gap_extend, seq_weight, exact=True):
     """Execute the level schedule on a device-resident pool.
 
     ``levels``: list of (ia, ib, iout) int arrays (slot indices; leaves
@@ -311,14 +332,14 @@ def run_progressive_pool(levels, leaf_mu, leaf_base, leaf_stem, leaf_len,
         if item[0] == "scan":
             blks = jax.lax.dynamic_slice(IDX, (jnp.int32(off), ZERO), (TC, 3))
             MU, MB, ST, LN, ops_rev, n_new = _pool_tail(
-                MU, MB, ST, LN, blks, go, ge, sw, has_base
+                MU, MB, ST, LN, blks, go, ge, sw, has_base, exact
             )
             off += TC
         else:
             Bp = item[2]
             blk = jax.lax.dynamic_slice(IDX, (jnp.int32(off), ZERO), (Bp, 3))
             MU, MB, ST, LN, ops_rev, n_new = _pool_level(
-                MU, MB, ST, LN, blk, go, ge, sw, has_base
+                MU, MB, ST, LN, blk, go, ge, sw, has_base, exact
             )
             off += Bp
         ops_out.append(ops_rev)  # device refs — no sync inside the loop
@@ -359,7 +380,7 @@ def run_progressive_pool(levels, leaf_mu, leaf_base, leaf_stem, leaf_len,
 
 
 def prewarm_pool_programs(n_leaves: int, P: int, d: int, base_dim: int,
-                          b_max: int):
+                          b_max: int, exact: bool = True):
     """Compile/load the pool-level program ladder in the background (the
     same motivation as pairhmm.prewarm_profile_programs: one program per
     distinct batch size, ~1.5 s executable load each in a fresh
@@ -419,7 +440,7 @@ def prewarm_pool_programs(n_leaves: int, P: int, d: int, base_dim: int,
                 out = _pool_level(
                     MU, MB, ST, LN, blk,
                     jnp.float32(-1.0), jnp.float32(-0.1), jnp.float32(0.0),
-                    has_base,
+                    has_base, exact,
                 )
                 jax.block_until_ready(out[4])
                 return out[:4]
@@ -441,7 +462,7 @@ def prewarm_pool_programs(n_leaves: int, P: int, d: int, base_dim: int,
             out = _pool_tail(
                 MU, MB, ST, LN, blks,
                 jnp.float32(-1.0), jnp.float32(-0.1), jnp.float32(0.0),
-                has_base,
+                has_base, exact,
             )
             MU, MB, ST, LN = out[:4]
             jax.block_until_ready(out[4])

@@ -207,6 +207,21 @@ def _pool_env_enabled() -> bool:
     return os.environ.get("GINFINITY_MSA_POOL", "1") != "0"
 
 
+def _profile_dp_exact_enabled() -> bool:
+    """Reference-exact f32 profile DP (default ON).
+
+    The reference's progressive DP runs in pure-Python float32
+    (embed_msa.py:874-930 under its no-op njit shim); co-optimal profile
+    paths at L~300 differ by less than any differently-ordered f32
+    evaluation's noise, so only the reference's exact op order
+    reproduces its merge paths — and its measured alignment quality
+    (SP-F1 0.110-0.123 vs 0.094-0.112 for the exact-dot XLA-ordered
+    kernel on N=50/L=300 shuffles; see ops/pairhmm.py).  Profile mode's
+    claim is reference parity, so exact semantics are the default;
+    GINFINITY_PROFILE_DP=fast opts into the MXU einsum kernel."""
+    return os.environ.get("GINFINITY_PROFILE_DP", "exact") != "fast"
+
+
 def pairwise_pairs_to_compute(records, max_pairs):
     N = len(records)
     pairs = [(i, j) for i in range(N) for j in range(i + 1, N)]
@@ -1203,11 +1218,20 @@ def _member_pos_to_col(chars: np.ndarray) -> np.ndarray:
 
 
 def merge_profiles(A: Profile, B: Profile, gap_open, gap_extend, seq_weight=0.0) -> Profile:
-    from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops
+    if _profile_dp_exact_enabled():
+        from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops_exact
 
-    ops = profile_align_batch_ops(
-        [_profile_score_matrix(A, B, seq_weight)], gap_open, gap_extend
-    )[0]
+        ops = profile_align_batch_ops_exact(
+            [(A.mu_struct, B.mu_struct)], [(A.stem, B.stem)],
+            gap_open, gap_extend,
+            base_pairs=[(A.mu_base, B.mu_base)], seq_weight=seq_weight,
+        )[0]
+    else:
+        from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops
+
+        ops = profile_align_batch_ops(
+            [_profile_score_matrix(A, B, seq_weight)], gap_open, gap_extend
+        )[0]
     return _merge_from_ops(A, B, ops)
 
 
@@ -1359,6 +1383,7 @@ def _msa_from_tree_pool(tree, internals, seq_profiles, gap_open, gap_extend,
     out = run_progressive_pool(
         levels, leaf_mu, leaf_base, leaf_stem, leaf_len,
         P, gap_open, gap_extend, seq_weight,
+        exact=_profile_dp_exact_enabled(),
     )
     if out is None:
         return None
@@ -1459,7 +1484,10 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
     ``library`` with device slabs) through ops/library_pool.py — zero
     per-level round trips either way — unless GINFINITY_MSA_POOL=0 or a
     merge outgrows the padded length."""
-    from ginfinity_tpu.ops.pairhmm import profile_align_batch_ops
+    from ginfinity_tpu.ops.pairhmm import (
+        profile_align_batch_ops,
+        profile_align_batch_ops_exact,
+    )
 
     if isinstance(tree, int):
         return seq_profiles[tree]
@@ -1530,11 +1558,22 @@ def msa_from_tree(tree, seq_profiles, gap_open, gap_extend, seq_weight=0.0,
         if all_ops is None:
             if scorer is not None:
                 mats = [scorer(a, b) for a, b in pairs]
+                t1 = time.perf_counter()
+                all_ops = profile_align_batch_ops(mats, gap_open, gap_extend)
+            elif _profile_dp_exact_enabled():
+                t1 = time.perf_counter()
+                all_ops = profile_align_batch_ops_exact(
+                    [(a.mu_struct, b.mu_struct) for a, b in pairs],
+                    [(a.stem, b.stem) for a, b in pairs],
+                    gap_open, gap_extend,
+                    base_pairs=[(a.mu_base, b.mu_base) for a, b in pairs],
+                    seq_weight=seq_weight,
+                )
             else:
                 mats = [_profile_score_matrix(a, b, seq_weight)
                         for a, b in pairs]
-            t1 = time.perf_counter()
-            all_ops = profile_align_batch_ops(mats, gap_open, gap_extend)
+                t1 = time.perf_counter()
+                all_ops = profile_align_batch_ops(mats, gap_open, gap_extend)
         t2 = time.perf_counter()
         for n, (a, b), ops in zip(ready, pairs, all_ops):
             resolved[id(n)] = _merge_from_ops(a, b, ops)
@@ -2007,21 +2046,31 @@ def main(argv=None):
             )
         prewarm_pool_programs(
             N, pool_padded_len(lmax_rec), int(next(iter(dims))),
-            base_dim, max(1, N // 2),
+            base_dim, max(1, N // 2), exact=_profile_dp_exact_enabled(),
         )
         if int(args.refine_iters) > 0:
             from ginfinity_tpu.ops.pairhmm import prewarm_profile_programs
 
             # refinement aligns sub-profiles whose length is the column
             # count (>= leaf length, gaps included) — warm with headroom
-            prewarm_profile_programs(lmax_rec + max(8, lmax_rec // 8), 2)
+            prewarm_profile_programs(
+                lmax_rec + max(8, lmax_rec // 8), 2,
+                exact_dims=((int(next(iter(dims))), base_dim)
+                            if _profile_dp_exact_enabled() else None),
+            )
     elif not (args.dp_score == "library" and pool_env):
         # pool disabled (or profile mode with GINFINITY_MSA_POOL=0):
         # the host-driven levelized loop batches through the
-        # profile-DP ladder
+        # profile-DP ladder (exact kernel in profile mode; library mode's
+        # scorer path DPs on accumulated score matrices)
         from ginfinity_tpu.ops.pairhmm import prewarm_profile_programs
 
-        prewarm_profile_programs(lmax_rec, max(1, N // 2))
+        prewarm_profile_programs(
+            lmax_rec, max(1, N // 2),
+            exact_dims=((int(next(iter(dims))), 0)
+                        if (args.dp_score != "library"
+                            and _profile_dp_exact_enabled()) else None),
+        )
 
     # Mode-dependent defaults: profile mode keeps the reference's values
     # (embed_msa.py:1262-1266, 1336); library mode uses the values from
