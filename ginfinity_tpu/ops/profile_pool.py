@@ -83,6 +83,21 @@ def pool_padded_len(max_leaf_len: int) -> int:
     return _round_capacity(m + max(8, m // 8))
 
 
+def library_pool_padded_len(max_leaf_len: int) -> int:
+    """Padded profile length for a LIBRARY-mode pool run.
+
+    Library-scored alignments are gap-heavier than profile-scored ones
+    (zero DP gap costs; scores vanish outside covered regions), so the
+    merged column count routinely exceeds profile mode's 12.5% headroom
+    — measured: an N=50/L=315 family merged to ~390 columns, overflowing
+    P=384 and paying a 132 s host-scorer fallback.  25% headroom keeps
+    the fused pool on-path; msa.py retries one rung higher on overflow."""
+    from ginfinity_tpu.graphs.batching import _round_capacity
+
+    m = max(2, max_leaf_len)
+    return _round_capacity(m + max(8, m // 4))
+
+
 def _pool_level_impl(MU, MB, ST, LN, blk, go, ge, sw, has_base,
                      exact=True):
     """Run one tree level: gather children, score, DP, merge, scatter.

@@ -1417,13 +1417,13 @@ def _msa_from_tree_pool_library(tree, internals, seq_profiles, library,
         build_library_schedule,
         run_library_pool,
     )
-    from ginfinity_tpu.ops.profile_pool import pool_padded_len
+    from ginfinity_tpu.ops.profile_pool import library_pool_padded_len
 
     if getattr(library, "device_slabs", None) is None:
         return None
     N = len(seq_profiles)
     lens = [p.mu_struct.shape[0] for p in seq_profiles]
-    P = pool_padded_len(max(lens))
+    P = library_pool_padded_len(max(lens))
     if max(lens) > P:
         return None
 
@@ -1454,6 +1454,19 @@ def _msa_from_tree_pool_library(tree, internals, seq_profiles, library,
         pair_a, pair_b, np.asarray(lens, np.int32), len(internals), P,
         gap_open, gap_extend,
     )
+    if out is None and max(lens) <= P:
+        # overflow: retry ONE rung up (1.5x leaves) before surrendering
+        # to the host scorer loop — a fresh program load costs seconds,
+        # the host fallback minutes at family scale
+        from ginfinity_tpu.graphs.batching import _round_capacity
+
+        P2 = _round_capacity(max(lens) + max(12, max(lens) // 2))
+        if P2 > P:
+            out = run_library_pool(
+                schedule, library.device_slabs[0], library.device_slabs[1],
+                pair_a, pair_b, np.asarray(lens, np.int32), len(internals),
+                P2, gap_open, gap_extend,
+            )
     if out is None:
         return None
     ops_levels, _ = out
@@ -2023,13 +2036,13 @@ def main(argv=None):
         # functions of N, the pair count, Lcap and topk)
         from ginfinity_tpu.graphs.batching import _round_capacity
         from ginfinity_tpu.ops.library_pool import prewarm_library_programs
-        from ginfinity_tpu.ops.profile_pool import pool_padded_len
+        from ginfinity_tpu.ops.profile_pool import library_pool_padded_len
 
         Lcap_pw = _round_capacity(lmax_rec)
         refine_len = (lmax_rec + max(8, lmax_rec // 8)
                       if int(args.refine_iters) > 0 else 0)
         prewarm_library_programs(
-            N, pool_padded_len(lmax_rec), len(pairs), Lcap_pw,
+            N, library_pool_padded_len(lmax_rec), len(pairs), Lcap_pw,
             min(int(args.topk), Lcap_pw), max(1, N // 2),
             refine_len=refine_len,
         )
