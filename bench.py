@@ -539,7 +539,10 @@ def measure_msa_quality_at_scale(n_seqs=50, anc_len=300, max_pairs=150):
     import contextlib
     import tempfile
 
-    from ginfinity_tpu.pipelines.msa_eval import compare_on_family, make_family
+    from ginfinity_tpu.pipelines.msa_eval import (
+        DEFAULT_PARAMS, compare_on_family, load_aln_tsv, make_family,
+        run_repo_msa, sp_scores,
+    )
 
     members = make_family(
         4200, n_seqs=n_seqs, anc_len=anc_len,
@@ -550,10 +553,25 @@ def measure_msa_quality_at_scale(n_seqs=50, anc_len=300, max_pairs=150):
             res = compare_on_family(
                 members, CKPT, td, params={"max_pairs": max_pairs}
             )
+            # the repo at its OWN defaults: max_pairs 2000 covers all
+            # N*(N-1)/2 pairs here (affordable on TPU; the capped rows
+            # above stay parameter-identical to the tractable reference
+            # run), library scoring, tuned gap_open/alpha
+            tuned = {k: v for k, v in DEFAULT_PARAMS.items()
+                     if k not in ("alpha", "beta", "gap_open", "gap_extend")}
+            ap_prefix = os.path.join(td, "repo_default_allpairs", "msa")
+            ap_sec = run_repo_msa(
+                os.path.join(td, "family_node_embeddings.tsv"),
+                ap_prefix, tuned, dp_score="library",
+            )
+            ap_scores = sp_scores(load_aln_tsv(ap_prefix + ".aln.tsv"),
+                                  members)
     out = {}
     for k in ("repo", "repo_library", "repo_library_tuned", "reference"):
         out[k + "_sp_f1"] = res[k]["sp_f1"]
         out[k + "_wall_sec"] = res[k]["wall_sec"]
+    out["repo_default_allpairs_sp_f1"] = ap_scores["sp_f1"]
+    out["repo_default_allpairs_wall_sec"] = round(ap_sec, 2)
     out.update({"families": 1, "n_seqs": n_seqs, "anc_len": anc_len,
                 "max_pairs": max_pairs})
     return out
